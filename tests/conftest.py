@@ -1,0 +1,18 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip sharding (parallel/ and slam/ distributed paths) is validated on
+host-platform virtual devices; numerics are identical to TPU up to float
+associativity. Must set flags before JAX initialises.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,139 @@
+"""Container/geometry invariants — mirrors reference tests/imageNd.cc,
+image2d.cc, boxNd_iterator.cc, border.cc, fill.cc."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vpp_tpu.core import (Box2d, Image2d, bilinear, clone, fill,
+                          fill_border_closest, fill_border_mirror,
+                          fill_border_with_value, fill_with_border,
+                          from_array, image2d, make_box2d,
+                          extract_patches, extract_patches_bilinear)
+
+
+def test_box_geometry():
+    b = make_box2d(5, 10)
+    assert b.shape == (5, 10)
+    assert b.size() == 50
+    assert b.has((0, 0)) and b.has((4, 9)) and not b.has((5, 0))
+    g = b.grow(2)
+    assert g.p1 == (-2, -2) and g.p2 == (6, 11)
+    assert g.shrink(2) == b
+
+
+def test_box_iteration_row_major():
+    b = Box2d(1, 1, 2, 3)
+    pts = list(b.points())
+    assert pts == [(1, 1), (1, 2), (1, 3), (2, 1), (2, 2), (2, 3)]
+    np.testing.assert_array_equal(b.coords(), np.array(pts))
+
+
+def test_image_geometry_and_access():
+    img = image2d(5, 10, border=2)
+    assert img.shape == (5, 10)
+    assert img.data.shape == (9, 14)
+    assert img.domain().shape == (5, 10)
+    assert img.domain_with_border().shape == (9, 14)
+    # border-relative access like the reference's img(-2, -2)
+    assert float(img(-2, -2)) == 0.0
+
+
+def test_with_interior_keeps_border():
+    img = fill_with_border(image2d(4, 4, border=1), 7.0)
+    img2 = img.with_interior(jnp.zeros((4, 4)))
+    assert float(img2(-1, -1)) == 7.0
+    assert float(img2(0, 0)) == 0.0
+
+
+def test_subimage():
+    arr = jnp.arange(30, dtype=jnp.float32).reshape(5, 6)
+    img = from_array(arr, border=1)
+    sub = img | Box2d(1, 2, 3, 4)
+    assert sub.shape == (3, 3)
+    np.testing.assert_array_equal(sub.to_numpy(), np.asarray(arr)[1:4, 2:5])
+
+
+def test_shifted_views():
+    arr = jnp.arange(12, dtype=jnp.float32).reshape(3, 4)
+    img = from_array(arr, border=1, border_mode="zero")
+    np.testing.assert_array_equal(np.asarray(img.shifted(0, 0)), arr)
+    s = np.asarray(img.shifted(0, 1))  # right neighbour
+    np.testing.assert_array_equal(s[:, :-1], np.asarray(arr)[:, 1:])
+    np.testing.assert_array_equal(s[:, -1], 0)
+
+
+# --- border semantics, cell-by-cell like tests/border.cc -------------------
+
+def test_fill_border_with_value():
+    img = fill(fill_with_border(image2d(5, 10, border=2), 0), 5)
+    img = fill_border_with_value(img, 6)
+    a = np.asarray(img.data)
+    interior = a[2:-2, 2:-2]
+    assert (interior == 5).all()
+    mask = np.ones_like(a, bool)
+    mask[2:-2, 2:-2] = False
+    assert (a[mask] == 6).all()
+
+
+def test_fill_border_closest():
+    img = image2d(5, 10, border=2, dtype=jnp.int32)
+    vals = (np.add.outer(np.arange(5), np.arange(10)) % 10).astype(np.int32)
+    img = img.with_interior(jnp.asarray(vals))
+    img = fill_border_closest(img)
+    for r in range(-2, 7):
+        for c in range(-2, 12):
+            cr = min(max(r, 0), 4)
+            cc = min(max(c, 0), 9)
+            assert int(img(r, c)) == (cr + cc) % 10, (r, c)
+
+
+def test_fill_border_mirror():
+    img = image2d(4, 5, border=2, dtype=jnp.int32)
+    vals = np.arange(20, dtype=np.int32).reshape(4, 5)
+    img = fill_border_mirror(img.with_interior(jnp.asarray(vals)))
+    # reference fill.hh:47-85: border pixel p<0 reads interior -p-1
+    assert int(img(-1, 0)) == vals[0, 0]
+    assert int(img(-2, 0)) == vals[1, 0]
+    assert int(img(0, -1)) == vals[0, 0]
+    assert int(img(0, -2)) == vals[0, 1]
+    assert int(img(4, 2)) == vals[3, 2]
+    assert int(img(5, 2)) == vals[2, 2]
+    assert int(img(-1, -1)) == vals[0, 0]
+    assert int(img(5, 6)) == vals[2, 3]
+
+
+def test_clone_border_override():
+    img = from_array(jnp.ones((3, 3)), border=1)
+    c = clone(img, border=3, border_mode="closest")
+    assert c.border == 3
+    assert float(c(-3, -3)) == 1.0
+
+
+# --- interpolation (imageNd.hpp:280-300) ------------------------------------
+
+def test_bilinear_exact_on_grid():
+    arr = jnp.arange(12, dtype=jnp.float32).reshape(3, 4)
+    pts = jnp.array([[0.0, 0.0], [2.0, 3.0], [1.0, 2.0]])
+    out = bilinear(arr, pts)
+    np.testing.assert_allclose(np.asarray(out), [0.0, 11.0, 6.0])
+
+
+def test_bilinear_midpoint():
+    arr = jnp.array([[0.0, 1.0], [2.0, 3.0]])
+    out = bilinear(arr, jnp.array([[0.5, 0.5]]))
+    np.testing.assert_allclose(np.asarray(out), [1.5])
+
+
+def test_extract_patches():
+    arr = jnp.arange(100, dtype=jnp.float32).reshape(10, 10)
+    p = extract_patches(arr, jnp.array([[5, 5]], jnp.int32), 3)
+    np.testing.assert_array_equal(
+        np.asarray(p[0]), np.arange(100).reshape(10, 10)[4:7, 4:7])
+
+
+def test_extract_patches_bilinear_integer_center():
+    arr = jnp.arange(100, dtype=jnp.float32).reshape(10, 10)
+    p = extract_patches_bilinear(arr, jnp.array([[5.0, 5.0]]), 3)
+    np.testing.assert_allclose(
+        np.asarray(p[0]), np.arange(100).reshape(10, 10)[4:7, 4:7])
