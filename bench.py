@@ -1,0 +1,75 @@
+"""Headline benchmark: video-extruder tracker frames/s on one TPU chip.
+
+Matches BASELINE.md config 3 (sparse tracking of ~1k FAST keypoints over a
+synthetic moving-texture video). ``vs_baseline`` is measured against the
+native C++/OpenMP reference-equivalent tracker (native/cpu_baseline.cpp)
+built -O3 -march=native on this machine — the reference repo publishes no
+numbers (BASELINE.md §1), so the denominator is measured locally.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+W, H, FRAMES = 640, 480, 60
+WARMUP_FRAMES = 4
+
+
+def make_clip(w, h, nframes, seed=0):
+    rng = np.random.RandomState(seed)
+    th, tw = h + nframes + 8, w + nframes + 8
+    base = rng.randint(0, 256, (th, tw)).astype(np.float32)
+    # 3x3 box smoothing (same spec as the native baseline's clip)
+    p = np.pad(base, 1, mode="edge")
+    sm = sum(p[r:r + th, c:c + tw] for r in range(3) for c in range(3)) / 9.0
+    frames = np.stack([sm[t:t + h, t:t + w] for t in range(nframes)])
+    return frames.astype(np.float32)
+
+
+def tpu_tracker_fps():
+    import jax
+    import jax.numpy as jnp
+    from vpp_tpu.algorithms.video_extruder import (VideoExtruderConfig,
+                                                   video_extruder_run)
+
+    cfg = VideoExtruderConfig(capacity=4096, detect_k=2048, nscales=3,
+                              winsize=9, keypoint_spacing=10,
+                              detector_period=5, detector_th=10)
+    frames = make_clip(W, H, FRAMES + WARMUP_FRAMES + 1)
+    clip = jax.device_put(jnp.asarray(frames))
+
+    # whole clip under one lax.scan on device — the tracker as a single
+    # compiled program (examples/video_extruder.cc frame pump equivalent)
+    run_full = jax.jit(lambda f: video_extruder_run(f, cfg))
+    state, _ = jax.block_until_ready(run_full(clip))   # compile + warm
+    t0 = time.perf_counter()
+    state, _ = jax.block_until_ready(run_full(clip))
+    dt = time.perf_counter() - t0
+    nlive = int(np.asarray(state.keypoints.alive).sum())
+    return (FRAMES + WARMUP_FRAMES + 1) / dt, nlive
+
+
+def cpu_baseline_fps():
+    from vpp_tpu.utils.native import cpu_tracker_fps
+    fps = cpu_tracker_fps(W, H, FRAMES)
+    return fps
+
+
+def main():
+    tpu_fps, nlive = tpu_tracker_fps()
+    cpu_fps = cpu_baseline_fps()
+    vs = (tpu_fps / cpu_fps) if cpu_fps else None
+    print(json.dumps({
+        "metric": f"video_extruder tracker fps ({W}x{H}, {nlive} live kps)",
+        "value": round(tpu_fps, 2),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(vs, 3) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,140 @@
+"""Microbenchmark suite — parity with /root/reference/benchmarks/:
+image add (image_add.cc), 5x5 box filter (box_5x5_filter.cc), FAST9
+(fast_detector.cc), pyramidal LK (pyrlk_opencv_comparison.cc), LBP
+(lbp.cc), distance transform (distance_transform.cc), plus the dense
+Hough transform and semi-dense flow.
+
+Each benchmark runs N iterations inside one ``lax.scan`` so TPU dispatch
+overhead amortises; reported ms/iter is device compute. A tiny dependency
+is threaded through the carry to defeat dead-code elimination. Prints one
+JSON line per benchmark; run:  python benchmarks/micro.py [--iters N]
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def bench(name, make_step, carry0, iters, unit="ms/iter", extra=None):
+    import jax
+
+    def scan_fn(c):
+        return jax.lax.scan(lambda cc, _: (make_step(cc), None), c, None,
+                            length=iters)[0]
+
+    jf = jax.jit(scan_fn)
+    out = jax.block_until_ready(jf(carry0))
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(jf(carry0))
+    dt = (time.perf_counter() - t0) / iters * 1e3
+    rec = {"bench": name, "value": round(dt, 4), "unit": unit}
+    if extra:
+        rec.update(extra)
+    print(json.dumps(rec))
+    return dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--size", type=int, nargs=2, default=[1080, 1920])
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from vpp_tpu.core.image import Image2d, from_array
+    from vpp_tpu.algorithms import (fast9, fast9_score, lbp_transform,
+                                    pyramid, scharr,
+                                    semi_dense_optical_flow)
+    from vpp_tpu.algorithms.distance_transform import (
+        chamfer_distance_transform, euclidean_distance_transform)
+    from vpp_tpu.algorithms.hough import hough_accumulator
+
+    h, w = args.size
+    rng = np.random.RandomState(0)
+    a0 = jnp.asarray(rng.randint(0, 255, (h, w)).astype(np.float32))
+    b0 = jnp.asarray(rng.randint(0, 255, (h, w)).astype(np.float32))
+    n = args.iters
+    px = h * w
+
+    # image add: A = A + B (image_add.cc) — pure HBM bandwidth
+    dt = bench("image_add", lambda c: c + b0, a0, n,
+               extra={"size": f"{w}x{h}"})
+    gbps = 3 * px * 4 / (dt * 1e-3) / 1e9
+    print(json.dumps({"bench": "image_add_bandwidth",
+                      "value": round(gbps, 1), "unit": "GB/s"}))
+
+    # 5x5 box filter (box_5x5_filter.cc) via separable shifted adds
+    img = from_array(a0, border=2, border_mode="mirror")
+
+    def box5(c):
+        im = Image2d(data=c, border=2)
+        s = sum(im.shifted(0, dc) for dc in range(-2, 3))
+        t = from_array(s / 5.0, border=2, border_mode="mirror")
+        s2 = sum(t.shifted(dr, 0) for dr in range(-2, 3))
+        return from_array(s2 / 5.0, border=2, border_mode="mirror").data
+
+    bench("box_filter_5x5", box5, img.data, n, extra={"size": f"{w}x{h}"})
+
+    # FAST9 score + detection (fast_detector.cc)
+    imgf = from_array(a0, border=3, border_mode="mirror")
+    bench("fast9_score", lambda c: c + 1e-9 * fast9_score(
+        Image2d(data=c, border=3), 10).astype(jnp.float32).sum(),
+        imgf.data, n, extra={"size": f"{w}x{h}"})
+
+    # LBP transform (lbp.cc)
+    bench("lbp_transform", lambda c: c + 1e-9 * lbp_transform(
+        Image2d(data=c, border=1)).interior.astype(jnp.float32).sum(),
+        from_array(a0, border=1, border_mode="mirror").data, n)
+
+    # 3-level pyramid (pyramid build inside the tracker hot path)
+    img9 = from_array(a0, border=9, border_mode="mirror")
+    bench("pyramid_3_levels", lambda c: c + 1e-9 * pyramid(
+        Image2d(data=c, border=9), 3, border=9)[2].data.sum(),
+        img9.data, n)
+
+    # Scharr gradient (scharr.hh)
+    bench("scharr", lambda c: c + 1e-9 * scharr(
+        Image2d(data=c, border=1)).data.sum(),
+        from_array(a0, border=1, border_mode="mirror").data, n)
+
+    # distance transforms (distance_transform.cc)
+    seeds = jnp.asarray(rng.rand(h // 2, w // 2) < 0.001)
+    bench("chamfer_d3_4", lambda c: c + 1e-9 * chamfer_distance_transform(
+        c > 0.5, "d3_4").sum() * 0 + c, seeds.astype(jnp.float32),
+        max(n // 3, 3), extra={"size": f"{w//2}x{h//2}"})
+    bench("euclidean_dt_jfa", lambda c: c + 1e-9 *
+          euclidean_distance_transform(c > 0.5)[0].sum() * 0 + c,
+          seeds.astype(jnp.float32), max(n // 3, 3))
+
+    # dense Hough accumulator
+    bench("hough_accumulator", lambda c: c + 1e-9 * hough_accumulator(
+        Image2d(data=c, border=3)).sum(),
+        from_array(a0, border=3, border_mode="mirror").data,
+        max(n // 3, 3))
+
+    # semi-dense optical flow (VGA, the tracker engine)
+    hv, wv = 480, 640
+    av = jnp.asarray(rng.randint(0, 255, (hv, wv)).astype(np.float32))
+    bv = jnp.roll(av, (2, 1), (0, 1))
+    i1 = from_array(av, border=9, border_mode="mirror")
+    pos = jnp.asarray(rng.rand(2048, 2) * [hv - 1, wv - 1], jnp.float32)
+    ok = jnp.ones((2048,), bool)
+    i2d = from_array(bv, border=9, border_mode="mirror").data
+
+    def flow_step(c):
+        mp, _, _ = semi_dense_optical_flow(
+            pos, ok, i1, Image2d(data=c, border=9), winsize=9, nscales=3)
+        return c + 1e-9 * mp.sum()
+
+    bench("semi_dense_flow_vga_2048kp", flow_step, i2d, n)
+
+
+if __name__ == "__main__":
+    main()

@@ -7,6 +7,11 @@ associativity. Must set flags before JAX initialises.
 
 import os
 
+# The axon TPU-tunnel plugin (sitecustomize in PYTHONPATH) registers itself
+# whenever PALLAS_AXON_POOL_IPS is set and overrides platform selection;
+# clear it so tests really run on host CPU and don't serialise on the
+# single tunnelled chip.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:

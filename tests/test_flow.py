@@ -1,0 +1,100 @@
+"""Semi-dense optical flow + video_extruder — synthetic end-to-end tests
+(the reference validates flow the same way: known translations of synthetic
+textures; tests/pyrlk.cc, evaluation/KITTI.cc methodology)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vpp_tpu.core import from_array
+from vpp_tpu.algorithms.flow import semi_dense_optical_flow
+from vpp_tpu.algorithms.video_extruder import (VideoExtruderConfig,
+                                               video_extruder_init,
+                                               video_extruder_run,
+                                               video_extruder_update)
+
+
+def _texture(h=96, w=128, seed=0):
+    rng = np.random.RandomState(seed)
+    base = rng.randint(0, 255, (h * 2, w * 2)).astype(np.float32)
+    # smooth a bit so SAD has a basin
+    k = np.ones((3, 3)) / 9.0
+    from numpy.lib.stride_tricks import sliding_window_view
+    sm = sliding_window_view(np.pad(base, 1, mode="wrap"), (3, 3))
+    return (sm * k).sum(axis=(2, 3)).astype(np.float32)
+
+
+def _frame(tex, dr, dc, h=96, w=128, border=9):
+    a = tex[32 + dr:32 + dr + h, 32 + dc:32 + dc + w]
+    return from_array(jnp.asarray(a), border=border, border_mode="mirror")
+
+
+def test_semi_dense_flow_recovers_translation():
+    tex = _texture()
+    i1 = _frame(tex, 0, 0)
+    i2 = _frame(tex, 3, -2)   # scene moves by (-3, +2) in image coords
+    rng = np.random.RandomState(1)
+    pts = np.stack([rng.randint(20, 76, 50),
+                    rng.randint(20, 108, 50)], axis=-1).astype(np.float32)
+    match, dist, ok = semi_dense_optical_flow(
+        jnp.asarray(pts), jnp.ones(50, bool), i1, i2,
+        winsize=7, nscales=3, propagation=2, patchsize=5)
+    flow = np.asarray(match) - pts
+    okn = np.asarray(ok)
+    assert okn.all()
+    med = np.median(flow, axis=0)
+    np.testing.assert_allclose(med, [-3.0, 2.0], atol=0.6)
+    # majority of keypoints should agree exactly (integer flow)
+    exact = (np.abs(flow - [-3, 2]) <= 1).all(axis=1).mean()
+    assert exact > 0.7, exact
+
+
+def test_semi_dense_flow_unmatched_dead_keypoints():
+    tex = _texture()
+    i1 = _frame(tex, 0, 0)
+    i2 = _frame(tex, 1, 1)
+    pts = jnp.array([[40.0, 40.0], [50.0, 50.0]])
+    valid = jnp.array([True, False])
+    _, _, ok = semi_dense_optical_flow(pts, valid, i1, i2, nscales=2)
+    assert bool(ok[0]) and not bool(ok[1])
+
+
+def test_video_extruder_tracks_moving_texture():
+    tex = _texture()
+    cfg = VideoExtruderConfig(capacity=256, detect_k=128, nscales=3,
+                              winsize=9, detector_period=3,
+                              keypoint_spacing=8, detector_th=8)
+    frames = [_frame(tex, i, i) for i in range(5)]
+    state = video_extruder_init(cfg)
+    positions = []
+    for t in range(1, 5):
+        state = video_extruder_update(state, frames[t - 1], frames[t], cfg)
+        positions.append((np.asarray(state.keypoints.position).copy(),
+                          np.asarray(state.keypoints.alive).copy(),
+                          np.asarray(state.keypoints.age).copy()))
+    # after first update, detection must have spawned points
+    assert positions[0][1].sum() > 20
+    # keypoints alive in consecutive frames should have moved by ~(-1,-1)
+    p_prev, a_prev, age_prev = positions[-2]
+    p_cur, a_cur, age_cur = positions[-1]
+    moved = a_prev & a_cur & (age_cur == age_prev + 1) & (age_prev > 1)
+    assert moved.sum() > 10
+    d = p_cur[moved] - p_prev[moved]
+    med = np.median(d, axis=0)
+    np.testing.assert_allclose(med, [-1.0, -1.0], atol=0.5)
+    # trajectories grow
+    assert int(state.traj_len.max()) >= 3
+
+
+def test_video_extruder_run_scan():
+    tex = _texture()
+    cfg = VideoExtruderConfig(capacity=128, detect_k=64, nscales=2,
+                              winsize=7, detector_period=2,
+                              keypoint_spacing=8, detector_th=8)
+    frames = jnp.stack([
+        jnp.asarray(tex[32 + i:32 + i + 64, 32 + i:32 + i + 96])
+        for i in range(4)])
+    final, (pos_hist, alive_hist) = jax.jit(
+        lambda f: video_extruder_run(f, cfg))(frames)
+    assert pos_hist.shape == (4, 128, 2)
+    assert int(alive_hist[-1].sum()) > 10

@@ -1,0 +1,59 @@
+"""Pyramidal LK — synthetic end-to-end test in the style of reference
+tests/pyrlk.cc:14-45: a small square moves by a known offset; recovered
+flow must match."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from vpp_tpu.core import from_array
+from vpp_tpu.core.keypoints import keypoints_from_positions
+from vpp_tpu.algorithms.pyramid import antialiasing_lowpass_filter, pyramid
+from vpp_tpu.algorithms.lk import (gradient_pyramid, lk_match_batch,
+                                   lucas_kanade, pyrlk_match)
+
+
+def _blurred_square(shift_r, shift_c, size=100):
+    a = np.zeros((size, size), np.float32)
+    r0, c0 = 50 + shift_r, 50 + shift_c
+    a[r0:r0 + 5, c0:c0 + 5] = 200.0
+    img = from_array(jnp.asarray(a), border=3, border_mode="mirror")
+    return antialiasing_lowpass_filter(img)
+
+
+def test_lucas_kanade_recovers_translation():
+    i1 = _blurred_square(0, 0)
+    i2 = _blurred_square(2, 2)
+    kps = jnp.array([[52.0, 52.0]])  # centre of the square
+    flow, dist = lucas_kanade(i1, i2, kps, winsize=11, nscales=3)
+    f = np.asarray(flow[0])
+    assert abs(f[0] - 2.0) < 0.35 and abs(f[1] - 2.0) < 0.35, f
+    assert float(dist[0]) < 2.0
+
+
+def test_lk_match_batch_rejects_textureless():
+    i1 = _blurred_square(0, 0)
+    i2 = _blurred_square(1, 1)
+    grad = gradient_pyramid(pyramid(i1, 1))
+    # (10,10) is flat: no gradient → min_ev reject
+    flow, err = lk_match_batch(i1, i2, grad[0],
+                               jnp.array([[10.0, 10.0]]),
+                               jnp.zeros((1, 2)), winsize=11, min_ev=1e-4,
+                               niterations=10, convergence_delta=0.1)
+    assert float(err[0]) > 1e30
+
+
+def test_pyrlk_match_moves_and_kills():
+    i1 = _blurred_square(0, 0)
+    i2 = _blurred_square(2, 2)
+    p_prev = pyramid(i1, 3)
+    p_next = pyramid(i2, 3)
+    p_grad = gradient_pyramid(p_prev)
+    kps = keypoints_from_positions(
+        jnp.array([[52.0, 52.0], [10.0, 10.0]]),   # corner, flat patch
+        jnp.array([True, True]))
+    out = pyrlk_match(p_prev, p_grad, p_next, kps, winsize=11, max_err=2.0)
+    assert bool(out.alive[0]) and not bool(out.alive[1])
+    np.testing.assert_allclose(np.asarray(out.position[0]), [54.0, 54.0],
+                               atol=0.5)
+    np.testing.assert_allclose(np.asarray(out.velocity[0]), [2.0, 2.0],
+                               atol=0.5)

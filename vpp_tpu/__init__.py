@@ -14,3 +14,16 @@ __version__ = "0.1.0"
 from . import core, ops
 
 __all__ = ["core", "ops", "__version__"]
+
+# Heavier subpackages (algorithms, slam, parallel, draw, io, utils) are
+# imported lazily on attribute access to keep bare `import vpp_tpu` light.
+_SUBPACKAGES = ("algorithms", "slam", "parallel", "draw", "io", "utils")
+
+
+def __getattr__(name):
+    if name in _SUBPACKAGES:
+        import importlib
+        mod = importlib.import_module(f".{name}", __name__)
+        globals()[name] = mod
+        return mod
+    raise AttributeError(f"module 'vpp_tpu' has no attribute {name!r}")

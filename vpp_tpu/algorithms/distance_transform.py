@@ -1,0 +1,187 @@
+"""Distance transforms — chamfer sweeps and Euclidean (SEDT).
+
+Capability parity with the reference
+(/root/reference/vpp/algorithms/distance_transforms/distance_transforms.hh):
+
+* ``generic_incremental_distance_transform`` (hh:86-118): two raster sweeps
+  (forward row-major, then backward) propagating ``min(self, neighbour +
+  weight)`` over a half-neighbourhood; instances ``d4``, ``d8``, ``d3_4``,
+  ``d5_7_11`` (hh:120-152).
+* ``euclide_distance_transform`` (hh:15-78): same two-pass structure but
+  carrying per-pixel displacement *vectors* (image2d<vshort2> R) so the
+  result is true squared-Euclidean distance.
+
+TPU-native redesign (not a translation):
+
+* The chamfer sweeps keep the reference's exact recurrence, but the
+  within-row left-to-right dependency is computed with an **associative
+  min-plus scan**: ``out[i] = min_j (v[j] + (i-j)w)`` decomposes into
+  segment elements ``(value, length)`` under an associative combine, so a
+  640-wide row resolves in log2(W) VPU steps instead of 640 serial ones.
+  The cross-row dependency is a ``lax.scan`` over rows (carry = previous
+  row, or two rows for the knight-move ``d5_7_11`` mask).
+* The Euclidean transform uses **jump flooding** (the standard
+  accelerator-native SEDT): log2(max(H,W)) full-image passes, each pixel
+  adopting the best of 9 neighbours' closest-seed coordinates at stride
+  s = N/2, N/4, …, 1, plus one extra stride-1 pass (JFA+1) to clean up the
+  rare non-exact cells. Produces the same (distance, displacement-vector)
+  pair as the reference's R image.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.image import Image2d
+
+_INF = np.float32(1e9)
+
+# forward half-neighbourhoods: (dr, dc, weight); backward = point-mirrored.
+# Weights per distance_transforms.hh:120-152.
+NEIGHBORHOODS: Dict[str, Sequence[Tuple[int, int, float]]] = {
+    "d4": ((-1, 0, 1.0), (0, -1, 1.0)),
+    "d8": ((-1, -1, 1.0), (-1, 0, 1.0), (-1, 1, 1.0), (0, -1, 1.0)),
+    "d3_4": ((-1, -1, 4.0), (-1, 0, 3.0), (-1, 1, 4.0), (0, -1, 3.0)),
+    "d5_7_11": ((-2, -1, 11.0), (-2, 1, 11.0),
+                (-1, -2, 11.0), (-1, -1, 7.0), (-1, 0, 5.0),
+                (-1, 1, 7.0), (-1, 2, 11.0),
+                (0, -1, 5.0)),
+}
+
+
+def _shift_row(row: jax.Array, dc: int) -> jax.Array:
+    """Shift a (W,) row by dc, padding with +inf."""
+    if dc == 0:
+        return row
+    if dc > 0:
+        return jnp.concatenate([jnp.full((dc,), _INF), row[:-dc]])
+    return jnp.concatenate([row[-dc:], jnp.full((-dc,), _INF)])
+
+
+def _minplus_scan(row: jax.Array, w: float, reverse: bool) -> jax.Array:
+    """out[i] = min_{j<=i} row[j] + (i-j)*w  (or mirrored when reverse) —
+    the within-row recurrence ``out[i] = min(row[i], out[i-1]+w)`` as an
+    associative scan over (value, length) segment summaries."""
+    n = row.shape[0]
+    if reverse:
+        row = row[::-1]
+
+    def combine(a, b):
+        av, an = a
+        bv, bn = b
+        return jnp.minimum(bv, av + bn * w), an + bn
+
+    vals, _ = jax.lax.associative_scan(
+        combine, (row, jnp.ones((n,), row.dtype)))
+    return vals[::-1] if reverse else vals
+
+
+def _sweep(dist: jax.Array, nbh: Sequence[Tuple[int, int, float]],
+           backward: bool) -> jax.Array:
+    """One raster sweep of the incremental recurrence (hh:100-117)."""
+    nrows_back = max(-dr for dr, _, _ in nbh)
+    cross = [(dr, dc, w) for dr, dc, w in nbh if dr != 0]
+    inrow = [(dc, w) for dr, dc, w in nbh if dr == 0]
+    sgn = -1 if backward else 1
+
+    def row_step(carry, cur):
+        # carry: tuple of previous `nrows_back` rows, nearest first
+        c = jnp.minimum(cur, _INF)
+        for dr, dc, w in cross:
+            prev = carry[(-dr) - 1]
+            c = jnp.minimum(c, _shift_row(prev, sgn * dc) + w)
+        for dc, w in inrow:
+            # within-row: dc = -1 forward / +1 (mirrored) backward
+            c = _minplus_scan(c, w, reverse=backward)
+        new_carry = (c,) + carry[:-1] if nrows_back > 1 else (c,)
+        return new_carry, c
+
+    h, w_ = dist.shape
+    init = tuple(jnp.full((w_,), _INF) for _ in range(nrows_back))
+    _, out = jax.lax.scan(row_step, init, dist, reverse=backward)
+    return out
+
+
+def chamfer_distance_transform(seeds, metric: str = "d3_4") -> jax.Array:
+    """Two-pass chamfer distance to the ``seeds`` mask (True/nonzero =
+    distance 0), with the reference's metric instances
+    (distance_transforms.hh:120-152). Returns float32 (H, W) weighted
+    distances (divide by 3 for d3_4, by 5 for d5_7_11 to approximate
+    Euclidean pixels).
+    """
+    nbh = NEIGHBORHOODS[metric]
+    if isinstance(seeds, Image2d):
+        seeds = seeds.interior
+    mask = jnp.asarray(seeds).astype(bool)
+    dist = jnp.where(mask, 0.0, _INF).astype(jnp.float32)
+    dist = _sweep(dist, nbh, backward=False)
+    dist = _sweep(dist, nbh, backward=True)
+    return dist
+
+
+def euclidean_distance_transform(seeds) -> Tuple[jax.Array, jax.Array]:
+    """Squared-Euclidean distance transform by jump flooding.
+
+    Returns (dist (H, W) float32 squared distance, R (H, W, 2) int32
+    displacement vectors to the closest seed) — the same outputs as the
+    reference's ``euclide_distance_transform`` (hh:15-78), whose R image
+    stores the vector and whose distance is |R|².
+    """
+    if isinstance(seeds, Image2d):
+        seeds = seeds.interior
+    mask = jnp.asarray(seeds).astype(bool)
+    h, w = mask.shape
+    rr = jnp.arange(h, dtype=jnp.int32)[:, None] * jnp.ones((1, w), jnp.int32)
+    cc = jnp.arange(w, dtype=jnp.int32)[None, :] * jnp.ones((h, 1), jnp.int32)
+    # best[r, c] = coordinates of current closest seed; (-big) = none yet
+    none = jnp.int32(-(1 << 20))
+    best_r = jnp.where(mask, rr, none)
+    best_c = jnp.where(mask, cc, none)
+
+    def dist2(br, bc):
+        d = ((br - rr).astype(jnp.float32) ** 2 +
+             (bc - cc).astype(jnp.float32) ** 2)
+        return jnp.where(br <= none, _INF, d)
+
+    def jfa_pass(best_r, best_c, step: int):
+        d = dist2(best_r, best_c)
+        for dr in (-step, 0, step):
+            for dc in (-step, 0, step):
+                if dr == 0 and dc == 0:
+                    continue
+                nr = jnp.roll(jnp.roll(best_r, dr, 0), dc, 1)
+                nc = jnp.roll(jnp.roll(best_c, dr, 0), dc, 1)
+                # mask wrapped entries
+                row_ok = ((rr - dr >= 0) & (rr - dr < h) &
+                          (cc - dc >= 0) & (cc - dc < w))
+                nd = jnp.where(row_ok, dist2(nr, nc), _INF)
+                take = nd < d
+                best_r = jnp.where(take, nr, best_r)
+                best_c = jnp.where(take, nc, best_c)
+                d = jnp.minimum(d, nd)
+        return best_r, best_c
+
+    step = 1
+    while step * 2 < max(h, w):
+        step *= 2
+    while step >= 1:
+        best_r, best_c = jfa_pass(best_r, best_c, step)
+        step //= 2
+    best_r, best_c = jfa_pass(best_r, best_c, 1)   # JFA+1 cleanup
+
+    vec = jnp.stack([best_r - rr, best_c - cc], axis=-1)
+    d = dist2(best_r, best_c)
+    return d, jnp.where((best_r <= none)[..., None], 0, vec)
+
+
+# named instances matching the reference (hh:120-152)
+d4 = partial(chamfer_distance_transform, metric="d4")
+d8 = partial(chamfer_distance_transform, metric="d8")
+d3_4 = partial(chamfer_distance_transform, metric="d3_4")
+d5_7_11 = partial(chamfer_distance_transform, metric="d5_7_11")

@@ -1,0 +1,186 @@
+"""Pyramidal Lucas-Kanade sparse flow — batched over keypoints.
+
+Capability parity with the reference's two LK entry points:
+
+* ``lk_match_point_square_win<WS>`` (reference pyrlk/lk.hh:40-175): per
+  keypoint — accumulate the 2x2 gradient matrix G over a winsize² window of
+  bilinearly-sampled Scharr gradients, reject if min eigenvalue of G/n is
+  below ``min_ev``, then Newton iterations ``v += G⁻¹ · b`` on the temporal
+  difference, and a normalised-SAD residual.
+* ``pyrlk_match`` (pyrlk/pyrlk_match.hh:14-55): coarse→fine over the
+  pyramid, translation doubled between levels, keypoints killed when the
+  residual exceeds ``max_err`` or the match leaves the image.
+* ``lucas_kanade`` (lucas_kanade/lucas_kanade.hpp:134-184): same math with
+  runtime winsize and a flow-result interface.
+
+TPU-native design: the reference's ``omp parallel for`` over keypoints
+becomes one ``vmap`` — every keypoint advances in lockstep through a fixed
+iteration count with convergence *masking* (a converged keypoint keeps its
+value; no early exit, branchless). The 2x2 solves are closed-form; window
+gathers are batched bilinear samples. One jitted program per pyramid
+geometry. Residual note: our error divides by winsize² where the reference
+accidentally divides by 2·winsize² (lk.hh:151-173 reuses its ``cpt``
+counter), so thresholds here are 2x the reference's numerically.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.image import Image2d, from_array
+from ..core.interp import bilinear
+from ..core.keypoints import Keypoints, kp_move_all
+from .pyramid import Pyramid, pyramid
+from .scharr import scharr
+
+_BIG = np.float32(3.4e38)
+
+
+def _window_offsets(winsize: int) -> jax.Array:
+    hws = winsize // 2
+    o = jnp.arange(-hws, hws + 1, dtype=jnp.float32)
+    dr, dc = jnp.meshgrid(o, o, indexing="ij")
+    return jnp.stack([dr.ravel(), dc.ravel()], axis=-1)  # (ws², 2)
+
+
+def lk_match_batch(A: Image2d, B: Image2d, Ag: Image2d, p: jax.Array,
+                   tr_prediction: jax.Array, *, winsize: int,
+                   min_ev: float, niterations: int,
+                   convergence_delta: float
+                   ) -> Tuple[jax.Array, jax.Array]:
+    """Batched lk_match_point_square_win.
+
+    p, tr_prediction: (N, 2) float32 in interior coords of A/B.
+    Returns (flow (N, 2), err (N,)); err = +inf for rejected keypoints.
+    """
+    offs = _window_offsets(winsize)           # (W2, 2)
+    n = p.shape[0]
+    h, w = A.shape
+    ba, bb, bg = A.border, B.border, Ag.border
+
+    pts = p[:, None, :] + offs[None]          # (N, W2, 2)
+    g = bilinear(Ag.data, pts + bg)           # (N, W2, 2)
+    gr, gc = g[..., 0], g[..., 1]
+    # G = [[Σgr², Σgrgc], [Σgrgc, Σgc²]]  (lk.hh:53-72)
+    a11 = jnp.sum(gr * gr, axis=1)
+    a12 = jnp.sum(gr * gc, axis=1)
+    a22 = jnp.sum(gc * gc, axis=1)
+    cnt = jnp.float32(offs.shape[0])
+    # min eigenvalue of symmetric 2x2 / cnt  (lk.hh:74-81)
+    tr_g = (a11 + a22) / cnt
+    det_part = jnp.sqrt(jnp.maximum(
+        ((a11 - a22) / cnt) ** 2 + 4 * (a12 / cnt) ** 2, 0.0))
+    min_eig = 0.5 * (tr_g - det_part)
+    ok = min_eig >= min_ev
+
+    det = a11 * a22 - a12 * a12
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    i11 = a22 * inv_det
+    i12 = -a12 * inv_det
+    i22 = a11 * inv_det
+
+    as_ = bilinear(A.data, pts + ba)          # (N, W2) template samples
+
+    def body(_, carry):
+        v, active = carry
+        pts2 = v[:, None, :] + offs[None]
+        bs = bilinear(B.data, pts2 + bb)
+        dt = as_ - bs                          # (N, W2)
+        bk1 = jnp.sum(gr * dt, axis=1)
+        bk2 = jnp.sum(gc * dt, axis=1)
+        nk1 = i11 * bk1 + i12 * bk2
+        nk2 = i12 * bk1 + i22 * bk2
+        step = jnp.stack([nk1, nk2], axis=-1)
+        v_new = jnp.where(active[:, None], v + step, v)
+        still = jnp.sqrt(nk1 ** 2 + nk2 ** 2) >= convergence_delta
+        return v_new, active & still
+
+    v0 = p + tr_prediction
+    v, _ = jax.lax.fori_loop(0, niterations, body,
+                             (v0, ok & jnp.ones(n, bool)))
+
+    in_domain = ((v[:, 0] >= 0) & (v[:, 0] <= h - 1) &
+                 (v[:, 1] >= 0) & (v[:, 1] <= w - 1))
+
+    # normalised SAD residual (lk.hh:149-173)
+    avg = jnp.mean(as_, axis=1, keepdims=True)
+    stddev = jnp.mean(jnp.abs(as_ - avg), axis=1)
+    bs = bilinear(B.data, v[:, None, :] + offs[None] + bb)
+    err = jnp.sum(jnp.abs(as_ - bs), axis=1) / (
+        cnt * jnp.maximum(stddev, 1e-6))
+    err = jnp.where(ok & in_domain, err, _BIG)
+    return v - p, err
+
+
+def gradient_pyramid(pyr: Pyramid) -> Pyramid:
+    """Scharr on level 0, then filtered/subsampled down
+    (lucas_kanade.hpp:151-157: scharr + propagate_level0)."""
+    g0 = scharr(pyr[0])
+    gpyr = pyramid(from_array(g0.interior, border=3, border_mode="mirror"),
+                   nlevels=len(pyr), factor=pyr.factor)
+    return gpyr
+
+
+def pyrlk_match(pyr_prev: Pyramid, pyr_grad: Pyramid, pyr_next: Pyramid,
+                kps: Keypoints, *, winsize: int = 11, min_ev: float = 1e-4,
+                max_err: float = 2.0, niterations: int = 21,
+                convergence_delta: float = 0.1,
+                min_scale: int = 0) -> Keypoints:
+    """Coarse→fine LK over all keypoint slots (pyrlk_match.hh:14-55).
+
+    Keypoints whose final residual exceeds ``max_err`` (or that leave the
+    image) die; survivors move by the estimated flow.
+    """
+    nscales = len(pyr_prev)
+    k = kps.capacity
+    tr = jnp.zeros((k, 2), jnp.float32)
+    dist = jnp.zeros((k,), jnp.float32)
+    for s in range(nscales - 1, min_scale - 1, -1):
+        tr = tr * pyr_prev.factor
+        scale = float(2 ** s)
+        flow, err = lk_match_batch(
+            pyr_prev[s], pyr_next[s], pyr_grad[s],
+            kps.position / scale, tr, winsize=winsize, min_ev=min_ev,
+            niterations=niterations, convergence_delta=convergence_delta)
+        # adopt the level's flow only when it matched (pyrlk_match.hh:37-40)
+        tr = jnp.where((err < max_err)[:, None], flow, tr)
+        dist = err
+    h, w = pyr_prev[0].shape
+    final = kps.position + tr
+    ok = ((dist <= max_err) & (final[:, 0] >= 0) & (final[:, 0] <= h - 1)
+          & (final[:, 1] >= 0) & (final[:, 1] <= w - 1))
+    return kp_move_all(kps, final, ok)
+
+
+def lucas_kanade(i1: Image2d, i2: Image2d, keypoints: jax.Array, *,
+                 niterations: int = 21, winsize: int = 11, nscales: int = 3,
+                 min_ev: float = 1e-4, convergence_delta: float = 0.1,
+                 prediction: jax.Array | None = None
+                 ) -> Tuple[jax.Array, jax.Array]:
+    """Named-option LK (lucas_kanade.hpp:134-184): builds the three pyramids
+    internally and returns (flow (N,2), dist (N,)) for (N,2) float keypoint
+    positions — the reference's ``_flow`` callback becomes a return value."""
+    border = max(3, winsize // 2)
+    p_prev = pyramid(i1, nscales, border=border)
+    p_next = pyramid(i2, nscales, border=border)
+    p_grad = gradient_pyramid(p_prev)
+    n = keypoints.shape[0]
+    tr = (jnp.zeros((n, 2), jnp.float32) if prediction is None
+          else prediction.astype(jnp.float32) / float(2 ** nscales))
+    dist = jnp.zeros((n,), jnp.float32)
+    for s in range(nscales - 1, -1, -1):
+        tr = tr * 2.0
+        scale = float(2 ** s)
+        flow, err = lk_match_batch(
+            p_prev[s], p_next[s], p_grad[s], keypoints / scale, tr,
+            winsize=winsize, min_ev=min_ev, niterations=niterations,
+            convergence_delta=convergence_delta)
+        tr = flow
+        dist = err
+    return tr, dist

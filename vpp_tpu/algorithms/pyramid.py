@@ -38,14 +38,16 @@ def _lowpass_1d(padded: jax.Array, axis: int, h: int, w: int,
     """5-tap binomial along ``axis`` of a border-padded array, returning the
     interior extent. ``offset`` is the border width."""
     taps = []
+    trailing_start = (0,) * (padded.ndim - 2)
+    trailing_stop = padded.shape[2:]
     for k, coef in enumerate(_BINOMIAL):
         d = k - 2
         if axis == 1:
-            sl = jax.lax.slice(padded, (offset, offset + d),
-                               (offset + h, offset + d + w))
+            sl = jax.lax.slice(padded, (offset, offset + d) + trailing_start,
+                               (offset + h, offset + d + w) + trailing_stop)
         else:
-            sl = jax.lax.slice(padded, (offset + d, offset),
-                               (offset + d + h, offset + w))
+            sl = jax.lax.slice(padded, (offset + d, offset) + trailing_start,
+                               (offset + d + h, offset + w) + trailing_stop)
         taps.append((sl.astype(jnp.int32) if integer
                      else sl.astype(jnp.float32)) * (int(coef) if integer
                                                      else coef))

@@ -1,0 +1,18 @@
+from .se3 import (se3_exp, se3_log, se3_inverse, se3_compose, se3_apply,
+                  so3_exp, so3_log)
+from .ba import (BAProblem, ba_solve, project, reprojection_residuals)
+from .pose_graph import PoseGraph, pose_graph_solve
+from .checkpoint import save_state, restore_state
+from .sfm import (plucker_from_points, plucker_transform,
+                  plucker_point_distance, pose_from_line_correspondences,
+                  vanishing_points, image_line_normals)
+
+__all__ = [
+    "se3_exp", "se3_log", "se3_inverse", "se3_compose", "se3_apply",
+    "so3_exp", "so3_log", "BAProblem", "ba_solve", "project",
+    "reprojection_residuals", "PoseGraph", "pose_graph_solve",
+    "save_state", "restore_state", "plucker_from_points",
+    "plucker_transform", "plucker_point_distance",
+    "pose_from_line_correspondences", "vanishing_points",
+    "image_line_normals",
+]
