@@ -39,15 +39,20 @@ def tpu_tracker_fps():
     cfg = VideoExtruderConfig(capacity=4096, detect_k=2048, nscales=3,
                               winsize=9, keypoint_spacing=10,
                               detector_period=5, detector_th=10)
-    frames = make_clip(W, H, FRAMES + WARMUP_FRAMES + 1)
-    clip = jax.device_put(jnp.asarray(frames))
+    # warm-up and timed runs use DIFFERENT clips: the axon runtime may
+    # serve repeated identical (program, inputs) executions from cache,
+    # which would fake a ~1000x speedup
+    clip_w = jax.device_put(jnp.asarray(
+        make_clip(W, H, FRAMES + WARMUP_FRAMES + 1, seed=0)))
+    clip_t = jax.device_put(jnp.asarray(
+        make_clip(W, H, FRAMES + WARMUP_FRAMES + 1, seed=1)))
 
     # whole clip under one lax.scan on device — the tracker as a single
     # compiled program (examples/video_extruder.cc frame pump equivalent)
     run_full = jax.jit(lambda f: video_extruder_run(f, cfg))
-    state, _ = jax.block_until_ready(run_full(clip))   # compile + warm
+    state, _ = jax.block_until_ready(run_full(clip_w))  # compile + warm
     t0 = time.perf_counter()
-    state, _ = jax.block_until_ready(run_full(clip))
+    state, _ = jax.block_until_ready(run_full(clip_t))
     dt = time.perf_counter() - t0
     nlive = int(np.asarray(state.keypoints.alive).sum())
     return (FRAMES + WARMUP_FRAMES + 1) / dt, nlive

@@ -1,0 +1,208 @@
+"""Optical-flow accuracy evaluation — the KITTI harness capability.
+
+Parity with /root/reference/evaluation/semi_dense_optical_flow/KITTI.cc and
+evaluation/utils/kitti.hh:9-23: measure endpoint-error statistics (mean
+EPE, % of errors > 3px — the KITTI "Fl" outlier rate) and runtime of the
+semi-dense flow over image pairs; KITTI ground-truth flow PNGs (16-bit,
+(u*64+2^15, v*64+2^15, valid)) are decoded with a dependency-free reader.
+
+Without a mounted dataset the harness evaluates on synthetic sequences
+with exact ground-truth flow (global translation + piecewise motion), the
+reference's own validation pattern (tests/pyrlk.cc methodology).
+
+Run:  python evaluation/flow_eval.py [--kitti DIR] [--pairs N]
+Prints one JSON line per sequence + a summary line.
+"""
+
+import argparse
+import json
+import struct
+import sys
+import time
+import zlib
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+# -- dependency-free 16-bit PNG reader (KITTI flow format) ------------------
+
+def read_png16(path: str) -> np.ndarray:
+    """Decode a 16-bit RGB PNG (color type 2, bit depth 16, non-interlaced)
+    → (H, W, 3) uint16. Covers the KITTI flow ground-truth files."""
+    data = open(path, "rb").read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+    pos, w = 8, None
+    idat = b""
+    while pos < len(data):
+        ln = struct.unpack(">I", data[pos:pos + 4])[0]
+        typ = data[pos + 4:pos + 8]
+        chunk = data[pos + 8:pos + 8 + ln]
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", chunk)
+            assert depth == 16 and ctype == 2 and interlace == 0, \
+                (depth, ctype, interlace)
+        elif typ == b"IDAT":
+            idat += chunk
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    raw = zlib.decompress(idat)
+    nch, bpp = 3, 6          # RGB16
+    stride = w * bpp
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint16)
+    p = 0
+    for r in range(h):
+        ftype = raw[p]
+        line = np.frombuffer(raw[p + 1:p + 1 + stride], np.uint8).astype(
+            np.uint16)
+        p += 1 + stride
+        if ftype == 0:
+            rec = line
+        elif ftype == 1:        # Sub
+            rec = line.copy()
+            for i in range(bpp, stride):
+                rec[i] = (rec[i] + rec[i - bpp]) & 0xFF
+        elif ftype == 2:        # Up
+            rec = (line + prev) & 0xFF
+        elif ftype == 3:        # Average
+            rec = line.copy()
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                rec[i] = (rec[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:        # Paeth
+            rec = line.copy()
+            for i in range(stride):
+                a = int(rec[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+                rec[i] = (rec[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"filter {ftype}")
+        out[r] = rec.astype(np.uint8)
+        prev = rec
+    be = out.reshape(h, w, nch, 2)
+    return (be[..., 0].astype(np.uint16) << 8) | be[..., 1]
+
+
+def decode_kitti_flow(png: np.ndarray):
+    """KITTI flow encoding (kitti.hh:9-23): u = (R - 2^15)/64,
+    v = (G - 2^15)/64, valid = B > 0."""
+    u = (png[..., 0].astype(np.float32) - 32768.0) / 64.0
+    v = (png[..., 1].astype(np.float32) - 32768.0) / 64.0
+    valid = png[..., 2] > 0
+    return u, v, valid
+
+
+# -- metrics (KITTI.cc stats struct) ----------------------------------------
+
+def flow_errors(flow_rc: np.ndarray, gt_u: np.ndarray, gt_v: np.ndarray,
+                valid: np.ndarray, tau: float = 3.0):
+    """EPE stats at grid resolution. ``flow_rc`` is (gh, gw, 2) in (row,
+    col); KITTI gt (u, v) = (col, row) displacements at pixel res — the
+    caller downsamples gt to the grid."""
+    err = np.sqrt((flow_rc[..., 1] - gt_u) ** 2 +
+                  (flow_rc[..., 0] - gt_v) ** 2)
+    err = err[valid]
+    if err.size == 0:
+        return {"aepe": float("nan"), "fl": float("nan"), "n": 0}
+    return {"aepe": float(err.mean()),
+            "fl": float((err > tau).mean() * 100.0),
+            "n": int(err.size)}
+
+
+# -- synthetic sequences (dataset-free) -------------------------------------
+
+def synthetic_pairs(n=4, h=240, w=320, seed=0):
+    """Image pairs with exact ground-truth flow: global translations and
+    a piecewise (split-screen) motion."""
+    from vpp_tpu.io import synthetic_clip
+    rng = np.random.RandomState(seed)
+    base = synthetic_clip(w + 64, h + 64, 1, seed=seed)[0]
+    for i in range(n):
+        dr, dc = int(rng.randint(-6, 7)), int(rng.randint(-6, 7))
+        a1 = base[32:32 + h, 32:32 + w]
+        a2 = base[32 + dr:32 + dr + h, 32 + dc:32 + dc + w]
+        gt_u = np.full((h, w), -dc, np.float32)
+        gt_v = np.full((h, w), -dr, np.float32)
+        yield f"translate_{i}({-dr},{-dc})", a1, a2, gt_u, gt_v, \
+            np.ones((h, w), bool)
+
+
+def evaluate_pair(a1, a2, gt_u, gt_v, valid, *, nscales=3, winsize=9,
+                  patchsize=5, propagation=2):
+    import jax
+    import jax.numpy as jnp
+    from vpp_tpu.core import from_array
+    from vpp_tpu.algorithms import dense_optical_flow
+
+    b = max(3, winsize)
+    i1 = from_array(jnp.asarray(a1), border=b, border_mode="mirror")
+    i2 = from_array(jnp.asarray(a2), border=b, border_mode="mirror")
+    f = jax.jit(lambda x, y: dense_optical_flow(
+        x, y, nscales=nscales, winsize=winsize, patchsize=patchsize,
+        propagation=propagation))
+    flow, dist = jax.block_until_ready(f(i1, i2))
+    t0 = time.perf_counter()
+    flow, dist = jax.block_until_ready(f(i1, i2))
+    ms = (time.perf_counter() - t0) * 1e3
+    flow = np.asarray(flow)
+    gh, gw = flow.shape[:2]
+    # downsample gt to the patch grid (cell centres)
+    rr = np.minimum(np.arange(gh) * patchsize + patchsize // 2,
+                    gt_u.shape[0] - 1)
+    cc = np.minimum(np.arange(gw) * patchsize + patchsize // 2,
+                    gt_u.shape[1] - 1)
+    stats = flow_errors(flow, gt_u[rr][:, cc], gt_v[rr][:, cc],
+                        valid[rr][:, cc])
+    stats["ms"] = round(ms, 2)
+    return stats
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--kitti", default=None,
+                    help="KITTI flow dir with image_2/ + flow_noc/")
+    ap.add_argument("--pairs", type=int, default=4)
+    args = ap.parse_args()
+
+    all_stats = []
+    if args.kitti:
+        root = Path(args.kitti)
+        gts = sorted((root / "flow_noc").glob("*_10.png"))[:args.pairs]
+        for gt_path in gts:
+            stem = gt_path.name[:-7]
+            png1 = read_png16(str(root / "image_2" / f"{stem}_10.png"))
+            png2 = read_png16(str(root / "image_2" / f"{stem}_11.png"))
+            a1 = (png1.mean(-1) / 256.0).astype(np.float32)
+            a2 = (png2.mean(-1) / 256.0).astype(np.float32)
+            gt_u, gt_v, valid = decode_kitti_flow(read_png16(str(gt_path)))
+            s = evaluate_pair(a1, a2, gt_u, gt_v, valid)
+            s["seq"] = stem
+            print(json.dumps(s))
+            all_stats.append(s)
+    else:
+        for name, a1, a2, gt_u, gt_v, valid in synthetic_pairs(args.pairs):
+            s = evaluate_pair(a1, a2, gt_u, gt_v, valid)
+            s["seq"] = name
+            print(json.dumps(s))
+            all_stats.append(s)
+
+    print(json.dumps({
+        "summary": True,
+        "aepe": round(float(np.mean([s["aepe"] for s in all_stats])), 3),
+        "fl_pct": round(float(np.mean([s["fl"] for s in all_stats])), 2),
+        "ms": round(float(np.mean([s["ms"] for s in all_stats])), 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

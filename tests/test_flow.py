@@ -98,3 +98,45 @@ def test_video_extruder_run_scan():
         lambda f: video_extruder_run(f, cfg))(frames)
     assert pos_hist.shape == (4, 128, 2)
     assert int(alive_hist[-1].sum()) > 10
+
+
+def test_semi_dense_flow_piecewise_motion():
+    """Two image halves moving differently — exercises the warp's
+    per-cell shifts (non-constant prediction fields)."""
+    tex = _texture(h=128, w=192)
+    h, w = 96, 128
+    a1 = tex[32:32 + h, 32:32 + w].copy()
+    a2 = np.empty_like(a1)
+    # left half moves (+4, 0), right half (0, +4) (scene shift = -crop)
+    a2[:, :w // 2] = tex[36:36 + h, 32:32 + w // 2]
+    a2[:, w // 2:] = tex[32:32 + h, 36 + w // 2:36 + w]
+    i1 = from_array(jnp.asarray(a1), border=9, border_mode="mirror")
+    i2 = from_array(jnp.asarray(a2), border=9, border_mode="mirror")
+    rng = np.random.RandomState(2)
+    left = np.stack([rng.randint(20, 76, 40),
+                     rng.randint(12, 44, 40)], -1).astype(np.float32)
+    right = np.stack([rng.randint(20, 76, 40),
+                      rng.randint(84, 116, 40)], -1).astype(np.float32)
+    pts = np.concatenate([left, right])
+    match, dist, ok = semi_dense_optical_flow(
+        jnp.asarray(pts), jnp.ones(80, bool), i1, i2,
+        winsize=7, nscales=3, propagation=2, patchsize=5)
+    flow = np.asarray(match) - pts
+    med_l = np.median(flow[:40], axis=0)
+    med_r = np.median(flow[40:], axis=0)
+    np.testing.assert_allclose(med_l, [-4.0, 0.0], atol=0.6)
+    np.testing.assert_allclose(med_r, [0.0, -4.0], atol=0.6)
+
+
+def test_sparse_optical_flow_translation():
+    from vpp_tpu.algorithms.sparse_flow import sparse_optical_flow
+    tex = _texture(h=160, w=192)
+    i1 = _frame(tex, 0, 0, h=128, w=160, border=9)
+    i2 = _frame(tex, 2, 2, h=128, w=160, border=9)
+    out = jax.jit(lambda a, b: sparse_optical_flow(
+        a, b, detector_th=8, k=256, search_radius=12.0))(i1, i2)
+    v = np.asarray(out.valid)
+    assert v.sum() > 30
+    flow = (np.asarray(out.pos2) - np.asarray(out.pos1))[v]
+    med = np.median(flow, axis=0)
+    np.testing.assert_allclose(med, [-2.0, -2.0], atol=0.3)

@@ -8,6 +8,7 @@ from .fast import (fast9, fast9_detect, fast9_score, fast9_score_image,
                    select_keypoints)
 from .lk import gradient_pyramid, lk_match_batch, lucas_kanade, pyrlk_match
 from .flow import dense_optical_flow, semi_dense_optical_flow
+from .sparse_flow import SparseFlow, sparse_optical_flow
 from .geometry import (epipolar_line, epipole_left, epipole_right,
                        fundamental_from_projections, reprojection_error,
                        triangulate)
@@ -34,7 +35,8 @@ __all__ = [
     "fast9", "fast9_detect", "fast9_score", "fast9_score_image",
     "local_maxima_filter", "blockwise_maxima_filter", "select_keypoints",
     "gradient_pyramid", "lk_match_batch", "lucas_kanade", "pyrlk_match",
-    "dense_optical_flow", "semi_dense_optical_flow", "VideoExtruderConfig", "VideoExtruderState",
+    "dense_optical_flow", "semi_dense_optical_flow",
+    "SparseFlow", "sparse_optical_flow", "VideoExtruderConfig", "VideoExtruderState",
     "video_extruder_init", "video_extruder_run", "video_extruder_update",
     "epipolar_line", "epipole_left", "epipole_right",
     "fundamental_from_projections", "reprojection_error", "triangulate",

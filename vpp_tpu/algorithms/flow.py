@@ -89,20 +89,46 @@ def _displacement_table(R: int) -> Tuple[np.ndarray, list]:
     return np.array(ds, np.int32), ds
 
 
+def _cells_to_pixels(cell_vals: jax.Array, b: int, h: int, w: int,
+                     patch: int, hb: int, wb: int) -> jax.Array:
+    """Broadcast a (gh, gw) per-cell value to the (hb, wb) pixel buffer
+    (patch-block repeat + edge padding) — no gather."""
+    px = jnp.repeat(jnp.repeat(cell_vals, patch, axis=0), patch, axis=1)
+    px = px[:h, :w]
+    ph, pw = px.shape
+    return jnp.pad(px, ((b, hb - b - ph), (b, wb - b - pw)), mode="edge")
+
+
 def _warp_by_cell_flow(a2: jax.Array, pred: jax.Array, b: int, h: int,
-                       w: int, patch: int) -> jax.Array:
+                       w: int, patch: int, max_shift: int) -> jax.Array:
     """Backward-warp the full buffer by per-cell integer flow
-    (piecewise-constant): out(x) = a2(x + pred[cell(x)]). One gather."""
+    (piecewise-constant): out(x) = a2(x + pred[cell(x)]).
+
+    Gather-free: per axis, a masked select over statically-rolled copies
+    of the image — one fused elementwise pass over the candidate shifts
+    (a generic gather is ~50x slower on TPU). ``pred`` is always even
+    (2x the coarser level's integer flow), so only even shifts within
+    the per-level envelope ``±max_shift`` are enumerated. Rolls wrap
+    where clamp-to-edge would repeat, but any cell whose prediction
+    reaches that far lands outside the domain and is rejected by the
+    in-domain check downstream. Cross-axis composition evaluates the row
+    shift at the un-warped column — exact within each cell, one-cell
+    approximate where the window straddles cells with different flow
+    (the reference gathers per-keypoint windows instead; the propagation
+    pass erases the difference).
+    """
+    s = jnp.clip(pred, -max_shift, max_shift)
     hb, wb = a2.shape
-    gh, gw = pred.shape[:2]
-    rr = jnp.arange(hb, dtype=jnp.int32)
-    cc = jnp.arange(wb, dtype=jnp.int32)
-    cell_r = jnp.clip((rr - b) // patch, 0, gh - 1)
-    cell_c = jnp.clip((cc - b) // patch, 0, gw - 1)
-    f = pred[cell_r[:, None], cell_c[None, :]]           # (hb, wb, 2)
-    sr = jnp.clip(rr[:, None] + f[..., 0], 0, hb - 1)
-    sc = jnp.clip(cc[None, :] + f[..., 1], 0, wb - 1)
-    return a2[sr, sc]
+    out = a2
+    for axis in (0, 1):
+        digit = _cells_to_pixels(s[..., axis], b, h, w, patch, hb, wb)
+        sel = out
+        for k in range(-max_shift, max_shift + 1, 2):
+            if k == 0:
+                continue
+            sel = jnp.where(digit == k, jnp.roll(out, -k, axis=axis), sel)
+        out = sel
+    return out
 
 
 def _cost_volume(a1: jax.Array, a2w: jax.Array, b: int, ws: int, patch: int,
@@ -308,12 +334,13 @@ def semi_dense_optical_flow(
             continue
 
         # -- dense cost-volume matching ---------------------------------
-        # (the warp clamps its source reads to the buffer, so arbitrary
-        # predictions are safe; bad matches are rejected by in_dom below)
         if s == nscales - 1:
             a2w = a2                                   # pred == 0
         else:
-            a2w = _warp_by_cell_flow(a2, pred, b, h, w, patchsize)
+            # per-level flow envelope: |flow_s| <= R * (2^(nscales-s) - 1)
+            pred_bound = 2 * R * (2 ** (nscales - 1 - s) - 1)
+            a2w = _warp_by_cell_flow(a2, pred, b, h, w, patchsize,
+                                     pred_bound)
 
         vol = _cost_volume(a1, a2w, b, winsize, patchsize, gh, gw, R,
                            offsets)
