@@ -42,20 +42,26 @@ def tpu_tracker_fps():
     # warm-up and timed runs use DIFFERENT clips: the axon runtime may
     # serve repeated identical (program, inputs) executions from cache,
     # which would fake a ~1000x speedup
-    clip_w = jax.device_put(jnp.asarray(
-        make_clip(W, H, FRAMES + WARMUP_FRAMES + 1, seed=0)))
-    clip_t = jax.device_put(jnp.asarray(
-        make_clip(W, H, FRAMES + WARMUP_FRAMES + 1, seed=1)))
+    nframes = FRAMES + WARMUP_FRAMES + 1
+    clips = [jax.device_put(jnp.asarray(make_clip(W, H, nframes, seed=s)))
+             for s in range(4)]
 
     # whole clip under one lax.scan on device — the tracker as a single
     # compiled program (examples/video_extruder.cc frame pump equivalent)
     run_full = jax.jit(lambda f: video_extruder_run(f, cfg))
-    state, _ = jax.block_until_ready(run_full(clip_w))  # compile + warm
-    t0 = time.perf_counter()
-    state, _ = jax.block_until_ready(run_full(clip_t))
-    dt = time.perf_counter() - t0
+    state, _ = jax.block_until_ready(run_full(clips[0]))  # compile + warm
+    # hard sync: block_until_ready on the FIRST post-compile dispatch does
+    # not actually wait through the remote tunnel; a host transfer does
+    np.asarray(state.keypoints.alive)
+    times = []
+    for clip in clips[1:]:
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(run_full(clip))
+        times.append(time.perf_counter() - t0)
+        state = out[0]
+    dt = sorted(times)[len(times) // 2]                 # median
     nlive = int(np.asarray(state.keypoints.alive).sum())
-    return (FRAMES + WARMUP_FRAMES + 1) / dt, nlive
+    return nframes / dt, nlive
 
 
 def cpu_baseline_fps():

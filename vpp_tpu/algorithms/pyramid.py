@@ -142,21 +142,59 @@ class Pyramid:
         return len(self.levels)
 
 
+def _binomial_decimate(interior: jax.Array, oh: int, ow: int) -> jax.Array:
+    """Fused filter+decimate for float levels: one 5x5 binomial conv with
+    stride 2 over a symmetric-padded interior. Equivalent to
+    antialiasing_lowpass_filter + subsample2 except on the outermost 2-px
+    rim, where the reference mirrors the *filtered* values between passes
+    while this mirrors the *input* (documented deviation; the pyramid is a
+    smoothing chain, the rim difference is sub-quantisation)."""
+    k1 = jnp.asarray(_BINOMIAL, jnp.float32) / 16.0
+    k2 = jnp.outer(k1, k1)
+    p = jnp.pad(interior, 2, mode="symmetric")
+    # make sure strided windows for the trailing sample stay in bounds
+    need_r = 2 * (oh - 1) + 5 - p.shape[0]
+    need_c = 2 * (ow - 1) + 5 - p.shape[1]
+    if need_r > 0 or need_c > 0:
+        p = jnp.pad(p, ((0, max(0, need_r)), (0, max(0, need_c))),
+                    mode="symmetric")
+    out = jax.lax.conv_general_dilated(
+        p[None, None], k2[None, None], window_strides=(2, 2),
+        padding="VALID", preferred_element_type=jnp.float32)[0, 0]
+    return out[:oh, :ow].astype(interior.dtype)
+
+
 def pyramid(img: Image2d, nlevels: int, factor: float = 2.0,
             border: int = 3) -> Pyramid:
     """Build an ``nlevels`` pyramid from level-0 content (pyramid.hh:146-157,
-    update → propagate_level0). Level 0 gets ``border`` mirror-filled."""
+    update → propagate_level0). Level 0 gets ``border`` mirror-filled.
+
+    Float dtype + factor 2 takes a fused fast path (one strided binomial
+    conv + one symmetric pad per level); other dtypes/factors use the
+    reference-shaped filter/subsample chain."""
     shapes = level_shapes(img.shape, nlevels, factor)
+    b = max(border, 3)
+    if (factor == 2.0 and jnp.issubdtype(img.dtype, jnp.floating)
+            and img.interior.ndim == 2):
+        pad = [(b, b), (b, b)] + [(0, 0)] * (img.interior.ndim - 2)
+        levels = [Image2d(data=jnp.pad(img.interior, pad, mode="symmetric"),
+                          border=b)]
+        cur = img.interior
+        for i in range(1, nlevels):
+            cur = _binomial_decimate(cur, *shapes[i])
+            levels.append(Image2d(data=jnp.pad(cur, pad, mode="symmetric"),
+                                  border=b))
+        return Pyramid(levels=tuple(levels), factor=factor)
     lvl0 = fill_border_mirror(
-        from_array(img.interior, border=max(border, 3), border_mode="mirror"))
+        from_array(img.interior, border=b, border_mode="mirror"))
     levels = [lvl0]
     for i in range(1, nlevels):
         prev = levels[-1]
         lp = antialiasing_lowpass_filter(prev)
         if factor == 2.0:
-            nxt = subsample2(lp, shapes[i], out_border=max(border, 3))
+            nxt = subsample2(lp, shapes[i], out_border=b)
         else:
-            nxt = subsample(lp, shapes[i], factor, out_border=max(border, 3))
+            nxt = subsample(lp, shapes[i], factor, out_border=b)
         levels.append(fill_border_mirror(nxt))
     return Pyramid(levels=tuple(levels), factor=factor)
 

@@ -110,9 +110,12 @@ def _occupancy_mask(kps: Keypoints, shape: Tuple[int, int],
 
 def video_extruder_update(state: VideoExtruderState, frame1: Image2d,
                           frame2: Image2d,
-                          cfg: VideoExtruderConfig) -> VideoExtruderState:
+                          cfg: VideoExtruderConfig,
+                          pyr1=None, pyr2=None) -> VideoExtruderState:
     """One tracker step (video_extruder.hpp:23-135). frame1/frame2 are
-    grayscale images with border >= max(3, winsize)."""
+    grayscale images with border >= max(3, winsize). ``pyr1``/``pyr2`` may
+    carry prebuilt pyramids (the scan driver reuses frame2's pyramid as the
+    next step's frame1 pyramid, halving pyramid work)."""
     kps = state.keypoints
     frame_id = state.frame_id + 1
     h, w = frame2.shape
@@ -121,7 +124,8 @@ def video_extruder_update(state: VideoExtruderState, frame1: Image2d,
     match_pos, dist, matched = semi_dense_optical_flow(
         kps.position, kps.alive, frame1, frame2,
         winsize=cfg.winsize, nscales=cfg.nscales,
-        propagation=cfg.propagation, patchsize=cfg.patchsize)
+        propagation=cfg.propagation, patchsize=cfg.patchsize,
+        pyr1=pyr1, pyr2=pyr2)
     in_dom = ((match_pos[:, 0] >= 0) & (match_pos[:, 0] <= h - 1) &
               (match_pos[:, 1] >= 0) & (match_pos[:, 1] <= w - 1))
     kps = kp_move_all(kps, match_pos, matched & in_dom)
@@ -175,17 +179,25 @@ def video_extruder_run(frames: jax.Array, cfg: VideoExtruderConfig,
     b = border if border is not None else max(3, cfg.winsize)
     state = video_extruder_init(cfg)
 
+    from .pyramid import pyramid as build_pyramid
+
     def pad(fr):
         return from_array(fr, border=b, border_mode="mirror")
 
     def step(carry, fr2):
-        state, fr1_data = carry
+        state, fr1_data, pyr1 = carry
         f1 = Image2d(data=fr1_data, border=b)
         f2 = pad(fr2)
-        new_state = video_extruder_update(state, f1, f2, cfg)
+        # frame2's pyramid becomes next step's frame1 pyramid: each frame's
+        # pyramid is built exactly once per clip
+        pyr2 = build_pyramid(f2, cfg.nscales, border=b)
+        new_state = video_extruder_update(state, f1, f2, cfg,
+                                          pyr1=pyr1, pyr2=pyr2)
         out = (new_state.keypoints.position, new_state.keypoints.alive)
-        return (new_state, f2.data), out
+        return (new_state, f2.data, pyr2), out
 
     f0 = pad(frames[0])
-    (final_state, _), hist = jax.lax.scan(step, (state, f0.data), frames)
+    pyr0 = build_pyramid(f0, cfg.nscales, border=b)
+    (final_state, _, _), hist = jax.lax.scan(step, (state, f0.data, pyr0),
+                                             frames)
     return final_state, hist
