@@ -39,7 +39,9 @@ scan_time("pyramid(3lvl)", pyr_step, f1)
 # fast9
 def fast_step(c, i):
     kp, score, n = fast9(from_array(c + i, border=B, border_mode="mirror"), 10, blockwise=True, block_size=10, k=2048)
-    return c + score.sum()*0, None
+    # float dependency: int score.sum()*0 would be folded to 0 by XLA's
+    # algebraic simplifier, dead-code-eliminating the whole fast9 call
+    return c + score.astype(jnp.float32).sum() * 1e-30, None
 scan_time("fast9 blockwise", fast_step, f1)
 
 # flow (pyramids built inside)

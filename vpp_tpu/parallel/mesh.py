@@ -3,8 +3,8 @@
 The reference's only parallelism is OpenMP fork-join over image rows
 (SURVEY §2.5); the multi-device story here is new, TPU-native design:
 images shard spatially ('sp'), frame batches shard over data ('dp'), and
-the SLAM back-end shards landmarks/keyframes over the mesh with ICI
-collectives (see vpp_tpu.slam.distributed).
+the SLAM back-end shards observations/landmarks over the mesh with ICI
+collectives (see vpp_tpu.slam.ba).
 """
 
 from __future__ import annotations

@@ -192,7 +192,7 @@ def ba_solve(p: BAProblem, *, iters: int = 10, huber: float = 4.0,
 
     if mesh is not None:
         from jax.sharding import PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         obs_spec = BAProblem(
             poses=P(), landmarks=P(), obs_pose=P(axis), obs_lm=P(axis),
