@@ -20,4 +20,8 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The plugin's sitecustomize ran before this conftest and already called
+# jax.config.update("jax_platforms", "axon,cpu"), which trumps the env var;
+# reassert host CPU (same fix as __graft_entry__.py).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")

@@ -57,3 +57,45 @@ def test_pyrlk_match_moves_and_kills():
                                atol=0.5)
     np.testing.assert_allclose(np.asarray(out.velocity[0]), [2.0, 2.0],
                                atol=0.5)
+
+
+def test_pyrlk_level_kill_semantics(monkeypatch):
+    """Control-flow parity with the reference level loop
+    (pyrlk_match.hh:32-50): per level, the flow is adopted only when
+    err < max_err, but ``dist`` is OVERWRITTEN each level, so the final
+    kill tests only the finest level's residual — a coarse-level failure
+    alone must not kill the keypoint."""
+    import vpp_tpu.algorithms.lk as lkmod
+
+    # three levels; per-keypoint err schedule (coarsest..finest):
+    #  kp0: fails coarse, succeeds after -> must SURVIVE (flow from fine)
+    #  kp1: succeeds coarse+mid, fails finest -> must DIE
+    errs = {2: jnp.asarray([9.0, 0.1]),
+            1: jnp.asarray([0.1, 0.1]),
+            0: jnp.asarray([0.1, 9.0])}
+    flows = {2: jnp.asarray([[8.0, 8.0], [1.0, 1.0]]),
+             1: jnp.asarray([[1.0, 1.0], [1.0, 1.0]]),
+             0: jnp.asarray([[2.0, 2.0], [1.0, 1.0]])}
+    shapes = {100: 0, 51: 1, 26: 2}   # level image height -> level id
+
+    def stub(A, B, Ag, p, tr, **kw):
+        s = shapes[A.shape[0]]
+        return flows[s], errs[s]
+
+    monkeypatch.setattr(lkmod, "lk_match_batch", stub)
+
+    i1 = _blurred_square(0, 0)
+    pyr = pyramid(i1, 3, border=5)
+    gpyr = gradient_pyramid(pyr)
+    kps = keypoints_from_positions(
+        jnp.asarray([[50.0, 50.0], [50.0, 50.0]]),
+        jnp.asarray([True, True]))
+    out = pyrlk_match(pyr, gpyr, pyr, kps, max_err=2.0)
+
+    # scalar transcription of the reference loop for kp0:
+    # tr=0; S=2: err 9 -> not adopted, dist=9; S=1: adopt (tr=flow=1,1),
+    # dist=.1; S=0: adopt (tr=2,2), dist=.1 -> dist<=max_err -> survives
+    assert bool(out.alive[0]), "coarse-level failure must not kill"
+    np.testing.assert_allclose(np.asarray(out.position[0]), [52.0, 52.0])
+    # kp1 fails at the finest level -> dist=9 -> killed
+    assert not bool(out.alive[1]), "finest-level failure must kill"

@@ -49,6 +49,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.image import Image2d
+from ..ops.pallas_kernels import flow_level_fits, flow_level_pallas
 from .pyramid import Pyramid, level_shapes, pyramid
 
 _INF = np.float32(1e30)
@@ -182,6 +183,56 @@ def _volume_lookup(vol: jax.Array, q: jax.Array, R: int) -> jax.Array:
     return jnp.where(inside, val, _INF)
 
 
+def _level_pads(hb: int, wb: int, b: int, ws: int, patch: int, gh: int,
+                gw: int, R: int) -> Tuple[int, int, int, int]:
+    """Edge padding (top, bottom, left, right) that keeps every displaced
+    cost-volume slice in bounds (same arithmetic as _cost_volume)."""
+    off = ws // 2 - patch // 2
+    r0 = b - off
+    lr = (gh - 1) * patch + ws
+    lc = (gw - 1) * patch + ws
+    pt = max(0, R - r0)
+    pl = max(0, R - r0)
+    return (pt, max(0, r0 + lr + R - hb), pl, max(0, r0 + lc + R - wb))
+
+
+def _flow_level_fused(a1: jax.Array, a2: jax.Array, pred: jax.Array,
+                      b: int, h: int, w: int, ws: int, patch: int,
+                      gh: int, gw: int, R: int,
+                      offsets: list, pred_bound: int,
+                      prop_iters: int) -> Tuple[jax.Array, jax.Array]:
+    """One level through the fused Pallas kernel (TPU): pad to cover the
+    displaced slices, expand the per-cell prediction to per-pixel digit
+    maps, and run warp + cost volume + argmin + propagation in VMEM.
+    Returns (flow (gh, gw, 2) int32, dist (gh, gw) f32)."""
+    hb, wb = a1.shape
+    pt, pb, pl_, pr = _level_pads(hb, wb, b, ws, patch, gh, gw, R)
+    s = jnp.clip(pred, -pred_bound, pred_bound) if pred_bound else pred
+    dig_r = _cells_to_pixels(s[..., 0], b, h, w, patch, hb, wb)
+    dig_c = _cells_to_pixels(s[..., 1], b, h, w, patch, hb, wb)
+    if pt or pb or pl_ or pr:
+        padc = ((pt, pb), (pl_, pr))
+        a1 = jnp.pad(a1, padc, mode="edge")
+        a2 = jnp.pad(a2, padc, mode="edge")
+        dig_r = jnp.pad(dig_r, padc, mode="edge")
+        dig_c = jnp.pad(dig_c, padc, mode="edge")
+    r0 = b - (ws // 2 - patch // 2)
+    fr, fc, dist = flow_level_pallas(
+        a1, a2, s[..., 0], s[..., 1], dig_r, dig_c,
+        r0=r0 + pt, c0=r0 + pl_, ws=ws, patch=patch, gh=gh, gw=gw,
+        radius=R, offsets=tuple(offsets), pred_bound=pred_bound,
+        prop_iters=prop_iters, h=h, w=w)
+    return jnp.stack([fr, fc], axis=-1), dist
+
+
+def _fused_level_ok(hb: int, wb: int, b: int, ws: int, patch: int,
+                    gh: int, gw: int, R: int) -> bool:
+    pt, pb, pl_, pr = _level_pads(hb, wb, b, ws, patch, gh, gw, R)
+    r0 = b - (ws // 2 - patch // 2)
+    return flow_level_fits(hb + pt + pb, wb + pl_ + pr, r0 + pt, r0 + pl_,
+                           ws, patch, gh, gw, R)
+
+
 _FLAT_CACHE = {}
 
 
@@ -240,6 +291,7 @@ def semi_dense_optical_flow(
         fundamental_matrix: Optional[jax.Array] = None,
         epipolar_flow: bool = False, epipolar_steps: int = 8,
         pyr1: Optional[Pyramid] = None, pyr2: Optional[Pyramid] = None,
+        use_pallas: Optional[bool] = None,
         ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Track (K, 2) float keypoint ``positions`` from i1 to i2.
 
@@ -249,7 +301,15 @@ def semi_dense_optical_flow(
     _patchsize(5)`` (hpp:56-66); ``search_niters`` bounds the per-level
     search radius (the descent's max travel). ``pyr1``/``pyr2`` may be
     supplied to reuse pyramids across calls (the tracker does).
+
+    ``use_pallas``: None = auto (fused VMEM kernel on TPU when the level
+    fits, XLA everywhere else); True/False force it. The two paths compute
+    the same quantities; the kernel's bf16 SAD accumulation can move an
+    argmin across a near-tie (~1e-3 relative), which the propagation sweeps
+    absorb.
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
     h0, w0 = i1.shape
     border = max(3, winsize)
     if pyr1 is None:
@@ -334,11 +394,20 @@ def semi_dense_optical_flow(
             continue
 
         # -- dense cost-volume matching ---------------------------------
-        if s == nscales - 1:
+        # per-level flow envelope: |flow_s| <= R * (2^(nscales-s) - 1)
+        pred_bound = (0 if s == nscales - 1 else
+                      2 * R * (2 ** (nscales - 1 - s) - 1))
+        if use_pallas and _fused_level_ok(a1.shape[0], a1.shape[1], b,
+                                          winsize, patchsize, gh, gw, R):
+            flow, dist = _flow_level_fused(
+                a1, a2, pred, b, h, w, winsize, patchsize, gh, gw, R,
+                offsets, pred_bound, propagation)
+            levels[s] = _Level(flow=flow, dist=dist, mark=mark)
+            continue
+
+        if pred_bound == 0:
             a2w = a2                                   # pred == 0
         else:
-            # per-level flow envelope: |flow_s| <= R * (2^(nscales-s) - 1)
-            pred_bound = 2 * R * (2 ** (nscales - 1 - s) - 1)
             a2w = _warp_by_cell_flow(a2, pred, b, h, w, patchsize,
                                      pred_bound)
 

@@ -148,7 +148,13 @@ def pyrlk_match(pyr_prev: Pyramid, pyr_grad: Pyramid, pyr_next: Pyramid,
             pyr_prev[s], pyr_next[s], pyr_grad[s],
             kps.position / scale, tr, winsize=winsize, min_ev=min_ev,
             niterations=niterations, convergence_delta=convergence_delta)
-        # adopt the level's flow only when it matched (pyrlk_match.hh:37-40)
+        # adopt the level's flow only when it matched (pyrlk_match.hh:37-40).
+        # NOTE: like the reference, ``dist`` is *overwritten* every level
+        # (pyrlk_match.hh:41 ``dist = match.second``), so the final kill
+        # below tests only the finest processed level's residual — a coarse
+        # level's failure alone does not kill the keypoint (its flow is
+        # simply not adopted). Verified against a scalar transcription in
+        # tests/test_lk.py::test_pyrlk_level_kill_semantics.
         tr = jnp.where((err < max_err)[:, None], flow, tr)
         dist = err
     h, w = pyr_prev[0].shape

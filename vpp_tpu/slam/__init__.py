@@ -1,6 +1,7 @@
 from .se3 import (se3_exp, se3_log, se3_inverse, se3_compose, se3_apply,
                   so3_exp, so3_log)
-from .ba import (BAProblem, ba_solve, project, reprojection_residuals)
+from .ba import (BAProblem, BATracks, ba_solve, ba_solve_tracks, project,
+                 reprojection_residuals, track_residuals, tracks_from_flat)
 from .pose_graph import PoseGraph, pose_graph_solve
 from .checkpoint import save_state, restore_state
 from .sfm import (plucker_from_points, plucker_transform,
@@ -9,7 +10,8 @@ from .sfm import (plucker_from_points, plucker_transform,
 
 __all__ = [
     "se3_exp", "se3_log", "se3_inverse", "se3_compose", "se3_apply",
-    "so3_exp", "so3_log", "BAProblem", "ba_solve", "project",
+    "so3_exp", "so3_log", "BAProblem", "BATracks", "ba_solve",
+    "ba_solve_tracks", "tracks_from_flat", "track_residuals", "project",
     "reprojection_residuals", "PoseGraph", "pose_graph_solve",
     "save_state", "restore_state", "plucker_from_points",
     "plucker_transform", "plucker_point_distance",

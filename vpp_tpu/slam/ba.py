@@ -230,3 +230,236 @@ def ba_solve(p: BAProblem, *, iters: int = 10, huber: float = 4.0,
     (out, _), costs = jax.lax.scan(
         body, (p, jnp.float32(lam0)), None, length=iters)
     return out, costs
+
+
+# ---------------------------------------------------------------------------
+# Scalable landmark-major BA (tracks): the production path.
+#
+# The flat ``ba_solve`` above materialises Hpl as (N, M, 6, 3) — fine for
+# sliding windows (M <= ~16, N <= ~2k), quadratic-memory death beyond. The
+# track layout stores each landmark's observations contiguously
+# ((N, K) slots, masked), so the Schur complement is assembled from
+# K x K block *pairs per landmark* — O(N K² 36) work and memory, no N x M
+# tensor — and shards over landmarks: each device owns a map block and
+# psum-reduces only pose-sized aggregates (S (M,6,M,6), rhs, cost) over
+# ICI. This is the Hessian-block reduction of the BASELINE north star at
+# production scale (N >= 10k, M >= 128; see tests/test_slam_scale.py).
+# ---------------------------------------------------------------------------
+
+
+class BATracks(NamedTuple):
+    """Landmark-major BA problem: slot j of row l is the j-th observation
+    of landmark l (masked by obs_valid). The natural output format of the
+    tracker front-end (a keypoint's trajectory IS its track)."""
+    poses: jax.Array        # (M, 4, 4) camera-from-world
+    landmarks: jax.Array    # (N, 3)
+    obs_pose: jax.Array     # (N, K) int32 — pose index per observation
+    obs_uv: jax.Array       # (N, K, 2) float32 (row, col)
+    obs_valid: jax.Array    # (N, K) bool
+    intrinsics: jax.Array   # (4,) [fx, fy, cx, cy]
+    fixed_poses: jax.Array  # (M,) bool
+
+
+def tracks_from_flat(p: BAProblem, k_max: Optional[int] = None) -> BATracks:
+    """Host-side (numpy) conversion from the flat observation list.
+    ``k_max`` defaults to the longest track."""
+    op = np.asarray(p.obs_pose)
+    ol = np.asarray(p.obs_lm)
+    uv = np.asarray(p.obs_uv)
+    ov = np.asarray(p.obs_valid)
+    n = p.landmarks.shape[0]
+    counts = np.zeros(n, np.int32)
+    if k_max is None:
+        k_max = 1
+        c = np.bincount(ol[ov], minlength=n)
+        k_max = max(1, int(c.max()))
+    obs_pose = np.zeros((n, k_max), np.int32)
+    obs_uv = np.zeros((n, k_max, 2), np.float32)
+    obs_valid = np.zeros((n, k_max), bool)
+    for o in range(op.shape[0]):
+        if not ov[o]:
+            continue
+        l, j = int(ol[o]), int(counts[ol[o]])
+        if j < k_max:
+            obs_pose[l, j] = op[o]
+            obs_uv[l, j] = uv[o]
+            obs_valid[l, j] = True
+            counts[l] += 1
+    return BATracks(poses=p.poses, landmarks=p.landmarks,
+                    obs_pose=jnp.asarray(obs_pose),
+                    obs_uv=jnp.asarray(obs_uv),
+                    obs_valid=jnp.asarray(obs_valid),
+                    intrinsics=p.intrinsics, fixed_poses=p.fixed_poses)
+
+
+def track_residuals(p: BATracks) -> jax.Array:
+    """(N, K, 2) reprojection residuals, masked slots -> 0."""
+    T = p.poses[p.obs_pose]                       # (N, K, 4, 4)
+    X = p.landmarks[:, None, :]
+    r = project(T, X, p.intrinsics) - p.obs_uv
+    return jnp.where(p.obs_valid[..., None], r, 0.0)
+
+
+def _track_jacobians(p: BATracks):
+    """r (N,K,2), Jp (N,K,2,6) wrt pose twist, Jl (N,K,2,3) wrt landmark."""
+    intr = p.intrinsics
+    z6 = jnp.zeros((6,), jnp.float32)
+    z3 = jnp.zeros((3,), jnp.float32)
+
+    def res(delta, dX, T, X, uv):
+        return project(se3_exp(delta) @ T, X + dX, intr) - uv
+
+    def one(T, X, uv):
+        return (res(z6, z3, T, X, uv),
+                jax.jacfwd(res, argnums=0)(z6, z3, T, X, uv),
+                jax.jacfwd(res, argnums=1)(z6, z3, T, X, uv))
+
+    T = p.poses[p.obs_pose]
+    X = jnp.broadcast_to(p.landmarks[:, None, :],
+                         p.obs_uv.shape[:2] + (3,))
+    return jax.vmap(jax.vmap(one))(T, X, p.obs_uv)
+
+
+def _tracks_cost(p: BATracks, huber: float) -> jax.Array:
+    r = track_residuals(p)
+    nrm = jnp.linalg.norm(r, axis=-1)
+    w = jnp.where(nrm <= huber, 1.0, huber / jnp.maximum(nrm, 1e-12))
+    return jnp.sum(jnp.where(p.obs_valid, w * jnp.sum(r * r, -1), 0.0))
+
+
+def _tracks_assemble(p: BATracks, lam, huber: float):
+    """Per-shard normal equations. Returns
+    (pose-sized aggregates to psum: S (M,6,M,6), rhs (M,6), cost) and
+    (landmark-local: Hll_inv (N,3,3), bl (N,3), U (N,K,6,3), seen (N,))."""
+    m = p.poses.shape[0]
+    r, Jp, Jl = _track_jacobians(p)
+    nrm = jnp.linalg.norm(r, axis=-1)
+    w = jnp.where(nrm <= huber, 1.0, huber / jnp.maximum(nrm, 1e-12))
+    w = jnp.where(p.obs_valid, w, 0.0)                    # (N, K)
+    Jp_w = Jp * w[..., None, None]
+    Jl_w = Jl * w[..., None, None]
+
+    Hll = jnp.einsum("nkri,nkrj->nij", Jl_w, Jl)          # (N,3,3)
+    bl = -jnp.einsum("nkri,nkr->ni", Jl_w, r)             # (N,3)
+    U = jnp.einsum("nkri,nkrj->nkij", Jp_w, Jl)           # (N,K,6,3)
+    pose_idx = jnp.where(p.obs_valid, p.obs_pose, 0)      # zero blocks drop
+    Hpp = jnp.zeros((m, 6, 6)).at[pose_idx].add(
+        jnp.einsum("nkri,nkrj->nkij", Jp_w, Jp))
+    bp = jnp.zeros((m, 6)).at[pose_idx].add(
+        -jnp.einsum("nkri,nkr->nki", Jp_w, r))
+    cost = jnp.sum(w * jnp.sum(r * r, axis=-1))
+
+    seen = jnp.sum(w, axis=1) > 0
+    eye3 = jnp.eye(3)
+    Hll_d = Hll + (lam + 1e-6) * eye3[None]
+    Hll_d = jnp.where(seen[:, None, None], Hll_d, eye3[None])
+    bl = jnp.where(seen[:, None], bl, 0.0)
+    Hll_inv = jnp.linalg.inv(Hll_d)
+
+    # Schur off-diagonal: per landmark, all K x K observation pairs
+    W = jnp.einsum("nkij,njc->nkic", U, Hll_inv)          # (N,K,6,3)
+    pair = jnp.einsum("nkij,nlmj->nklim", W, U)           # (N,K,K,6,6)
+    p1 = jnp.broadcast_to(pose_idx[:, :, None], pair.shape[:3])
+    p2 = jnp.broadcast_to(pose_idx[:, None, :], pair.shape[:3])
+    S = jnp.zeros((m, m, 6, 6)).at[p1, p2].add(-pair)
+    S = S.at[jnp.arange(m), jnp.arange(m)].add(
+        Hpp + lam * jnp.eye(6)[None])
+    S = S.transpose(0, 2, 1, 3)                           # (M,6,M,6)
+    rhs = bp - jnp.zeros((m, 6)).at[pose_idx].add(
+        jnp.einsum("nkij,nj->nki", W, bl))
+    return (S, rhs, cost), (Hll_inv, bl, U, pose_idx, seen)
+
+
+def _tracks_solve_poses(S, rhs, fixed_poses):
+    m = rhs.shape[0]
+    S = S.reshape(m * 6, m * 6)
+    fixed = jnp.repeat(fixed_poses, 6)
+    S = jnp.where(fixed[:, None] | fixed[None, :], jnp.eye(m * 6), S)
+    rhs = jnp.where(fixed, 0.0, rhs.reshape(-1))
+    # Jacobi preconditioning: the reduced camera system of a long pose
+    # chain is ill-conditioned (rotation rows ~fx² vs translation rows);
+    # symmetric diagonal scaling keeps the f32 solve accurate at M >= 128
+    d = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(S), 1e-12))
+    Sp = S * d[:, None] * d[None, :]
+    dp = d * jnp.linalg.solve(Sp, d * rhs)
+    return dp.reshape(m, 6)
+
+
+def _tracks_backsub(local, dp):
+    Hll_inv, bl, U, pose_idx, seen = local
+    Udp = jnp.einsum("nkij,nki->nj", U, dp[pose_idx])     # (N,3)
+    dl = jnp.einsum("nij,nj->ni", Hll_inv, bl - Udp)
+    return jnp.where(seen[:, None], dl, 0.0)
+
+
+def ba_solve_tracks(p: BATracks, *, iters: int = 10, huber: float = 4.0,
+                    lam0: float = 1e-3, mesh=None, axis: str = "lm"
+                    ) -> Tuple[BATracks, jax.Array]:
+    """Levenberg-Marquardt over a landmark-major problem.
+
+    With ``mesh``, landmarks (rows of landmarks/obs_*) shard over ``axis``
+    (N divisible by the axis size): every device assembles its map block's
+    S/rhs, psum-reduces the pose-sized aggregates over ICI, runs the same
+    replicated (6M, 6M) solve, and back-substitutes its own landmarks
+    locally. Poses are replicated; landmark state never crosses devices.
+    """
+
+    def step_local(prob: BATracks, lam):
+        (S, rhs, cost), local = _tracks_assemble(prob, lam, huber)
+        dp = _tracks_solve_poses(S, rhs, prob.fixed_poses)
+        dl = _tracks_backsub(local, dp)
+        return dp, dl, cost
+
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+
+        spec = BATracks(poses=P(), landmarks=P(axis), obs_pose=P(axis),
+                        obs_uv=P(axis), obs_valid=P(axis), intrinsics=P(),
+                        fixed_poses=P())
+
+        @partial(shard_map, mesh=mesh, in_specs=(spec, P()),
+                 out_specs=(P(), P(axis), P()))
+        def sharded_step(prob, lam):
+            (S, rhs, cost), local = _tracks_assemble(prob, lam, huber)
+            S = jax.lax.psum(S, axis)
+            rhs = jax.lax.psum(rhs, axis)
+            cost = jax.lax.psum(cost, axis)
+            dp = _tracks_solve_poses(S, rhs, prob.fixed_poses)
+            dl = _tracks_backsub(local, dp)
+            return dp, dl, cost
+
+        def cost_fn(prob):
+            @partial(shard_map, mesh=mesh, in_specs=(spec,), out_specs=P())
+            def c(pr):
+                return jax.lax.psum(_tracks_cost(pr, huber), axis)
+            return c(prob)
+
+        step = sharded_step
+    else:
+        step = step_local
+        cost_fn = lambda prob: _tracks_cost(prob, huber)  # noqa: E731
+
+    def apply_step(prob: BATracks, dp, dl) -> BATracks:
+        poses = jax.vmap(lambda d, T: se3_exp(d) @ T)(dp, prob.poses)
+        poses = jnp.where(prob.fixed_poses[:, None, None], prob.poses,
+                          poses)
+        return prob._replace(poses=poses, landmarks=prob.landmarks + dl)
+
+    def body(carry, _):
+        prob, lam = carry
+        dp, dl, cost = step(prob, lam)
+        cand = apply_step(prob, dp, dl)
+        new_cost = cost_fn(cand)
+        accept = new_cost < cost
+        prob = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(
+                accept if a.ndim == 0 else
+                accept.reshape((1,) * a.ndim), a, b), cand, prob)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.3, 1e-8),
+                        jnp.minimum(lam * 4.0, 1e4))
+        return (prob, lam), jnp.where(accept, new_cost, cost)
+
+    (out, _), costs = jax.lax.scan(
+        body, (p, jnp.float32(lam0)), None, length=iters)
+    return out, costs
