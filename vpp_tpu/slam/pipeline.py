@@ -1,0 +1,473 @@
+"""End-to-end SLAM engine: tracker -> keyframes -> triangulation ->
+sliding-window BA (+ pose graph, relocalization, checkpointing).
+
+The reference only *declares* this capability — its SfM context stubs
+``triangulation()`` and ``bundle_adjustement()`` with empty bodies
+(/root/reference/vpp/algorithms/line_tracker_4_sfm/sfm/structure_from_motion.hh:25-35,55-56).
+This module is the TPU-native realisation (BASELINE configs 4-5).
+
+TPU-native design — everything is slot-parallel and static-shape:
+
+* the **keypoint slot index IS the landmark id**: the tracker's
+  fixed-capacity slots (core/keypoints.py) bind 1:1 to rows of the
+  landmark table, so there is no association bookkeeping at all;
+* **keyframes live in a ring** of static size R — the ring is the
+  sliding BA window; a keyframe's ring column holds every slot's pixel
+  observation at that keyframe, so the observation matrix (N, R) *is*
+  a ``BATracks`` problem with ``obs_pose[n, j] = j``;
+* slot lifecycle is handled by an age handshake: a slot's observation
+  row survives only while the tracker kept the same particle alive
+  through every frame between keyframes (age arithmetic, no ids);
+* new landmarks triangulate from their oldest + newest ring
+  observations (vmapped DLT, algorithms/geometry.py) gated by parallax
+  and reprojection sanity; keyframe poses come from a batched
+  Gauss-Newton PnP against the live map; the window refines with
+  ``ba_solve_tracks`` (optionally landmark-sharded over a mesh);
+* one ``slam_step`` is a single jitted program (keyframe work behind
+  ``lax.cond``); a clip runs under ``lax.scan`` (``slam_run``).
+
+Monocular bootstrap: the first two keyframe poses pin the gauge and the
+scale (they are taken from ``bootstrap_poses``, e.g. an external odometry
+prior or ground truth in tests — the classic stereo/known-baseline init).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..algorithms.geometry import _triangulate_one
+from ..algorithms.video_extruder import (VideoExtruderConfig,
+                                         VideoExtruderState,
+                                         video_extruder_init,
+                                         video_extruder_update)
+from ..core.image import Image2d, from_array
+from ..core.interp import extract_patches
+from .ba import (BATracks, ba_solve_tracks, project,
+                 track_residuals)
+from .se3 import se3_exp, se3_inverse
+
+_HUGE = 1e30
+
+
+@dataclasses.dataclass(frozen=True)
+class SlamConfig:
+    """Static pipeline knobs. ``tracker.capacity`` is also the landmark
+    table size; ``ring`` is the sliding-window length (BA poses)."""
+    intrinsics: Tuple[float, float, float, float]   # fx, fy, cx, cy
+    keyframe_period: int = 4
+    ring: int = 8
+    ba_iters: int = 3
+    ba_huber: float = 4.0
+    ba_lam0: float = 1e-4
+    prune_reproj: float = 1.5          # post-BA obs outlier gate (px)
+    subpix_refine: bool = False        # KLT-align obs to first templates
+    min_parallax: float = 3.0          # px between first/last obs
+    max_reproj: float = 3.0            # px acceptance after triangulation
+    pnp_iters: int = 6
+    history: int = 64                  # keyframe trajectory capacity
+    desc_patch: int = 7                # relocalization descriptor patch
+    tracker: VideoExtruderConfig = dataclasses.field(
+        default_factory=lambda: VideoExtruderConfig(
+            capacity=512, detect_k=256, nscales=3, winsize=9,
+            keypoint_spacing=10, detector_period=1))
+
+
+@struct.dataclass
+class SlamState:
+    tracker: VideoExtruderState
+    kf_pose: jax.Array      # (R, 4, 4) ring of keyframe poses (cam<-world)
+    kf_valid: jax.Array     # (R,) bool
+    obs_uv: jax.Array       # (N, R, 2) pixel obs per slot x ring column
+    obs_valid: jax.Array    # (N, R) bool
+    lm_X: jax.Array         # (N, 3) landmark positions
+    lm_valid: jax.Array     # (N,) bool
+    lm_desc: jax.Array      # (N, P*P) patch descriptor at first obs
+    age_at_kf: jax.Array    # (N,) tracker age at the last keyframe
+    n_keyframes: jax.Array  # () int32
+    hist_pose: jax.Array    # (H, 4, 4) global keyframe trajectory
+    hist_frame: jax.Array   # (H,) int32 frame id per keyframe (-1 empty)
+
+
+def slam_init(cfg: SlamConfig,
+              bootstrap_poses: Optional[jax.Array] = None) -> SlamState:
+    """``bootstrap_poses``: (2, 4, 4) poses of the first two keyframes
+    (pins gauge + monocular scale). Defaults to identity for both — a
+    degenerate choice kept only for shape-compatible initialisation."""
+    n = cfg.tracker.capacity
+    r = cfg.ring
+    eye = jnp.broadcast_to(jnp.eye(4), (r, 4, 4))
+    kf_pose = eye
+    if bootstrap_poses is not None:
+        kf_pose = kf_pose.at[0:2].set(bootstrap_poses)
+    return SlamState(
+        tracker=video_extruder_init(cfg.tracker),
+        kf_pose=kf_pose,
+        kf_valid=jnp.zeros((r,), bool),
+        obs_uv=jnp.zeros((n, r, 2), jnp.float32),
+        obs_valid=jnp.zeros((n, r), bool),
+        lm_X=jnp.zeros((n, 3), jnp.float32),
+        lm_valid=jnp.zeros((n,), bool),
+        lm_desc=jnp.zeros((n, cfg.desc_patch ** 2), jnp.float32),
+        age_at_kf=jnp.zeros((n,), jnp.int32),
+        n_keyframes=jnp.int32(0),
+        hist_pose=jnp.broadcast_to(jnp.eye(4), (cfg.history, 4, 4)),
+        hist_frame=jnp.full((cfg.history,), -1, jnp.int32))
+
+
+def pnp_gn(T0: jax.Array, X: jax.Array, uv: jax.Array, valid: jax.Array,
+           intr: jax.Array, *, iters: int = 6, huber: float = 4.0,
+           lam: float = 1e-4) -> Tuple[jax.Array, jax.Array]:
+    """Single-pose Gauss-Newton PnP from masked 2D-3D matches.
+
+    Returns (pose (4,4), mean |residual| over valid matches). Branchless:
+    with < 4 valid matches the damped 6x6 system stays near-singular-free
+    and the pose simply keeps its prior.
+    """
+    z6 = jnp.zeros((6,), jnp.float32)
+    nvalid = jnp.maximum(jnp.sum(valid), 1)
+
+    def body(T, _):
+        def res(delta):
+            return project(se3_exp(delta) @ T, X, intr) - uv   # (N, 2)
+
+        r = res(z6)
+        J = jax.jacfwd(res)(z6)                                # (N, 2, 6)
+        nrm = jnp.linalg.norm(r, axis=-1)
+        w = jnp.where(nrm <= huber, 1.0, huber / jnp.maximum(nrm, 1e-12))
+        w = jnp.where(valid, w, 0.0)
+        Jw = J * w[:, None, None]
+        H = jnp.einsum("nri,nrj->ij", Jw, J) + lam * jnp.eye(6)
+        b = -jnp.einsum("nri,nr->i", Jw, r)
+        delta = jnp.linalg.solve(H, b)
+        return se3_exp(delta) @ T, None
+
+    T, _ = jax.lax.scan(body, T0, None, length=iters)
+    r = project(T, X, intr) - uv
+    err = jnp.sum(jnp.where(valid, jnp.linalg.norm(r, axis=-1), 0.0)
+                  ) / nvalid
+    return T, err
+
+
+def _refine_obs_subpix(frame: Image2d, pos: jax.Array, templ: jax.Array,
+                       valid: jax.Array, patch: int,
+                       iters: int = 4) -> Tuple[jax.Array, jax.Array]:
+    """Sub-pixel KLT alignment of each slot's current position against its
+    stored first-observation template (lm_desc) — forward-additive GN on
+    pure translation, vmapped over slots.
+
+    The tracker's semi-dense flow is integer-resolution; raw positions
+    would put ~0.5 px of quantisation noise into every BA observation.
+    Aligning to the FIRST observation's template is drift-free, and any
+    constant per-template offset is absorbed by the landmark position.
+    Returns (refined (N, 2), ok (N,)) — ok False where alignment diverged.
+    """
+    from ..core.interp import extract_patches_bilinear
+    b = frame.border
+    data = frame.data.astype(jnp.float32)
+    # central-difference gradient buffer (2 full-image ops per keyframe)
+    gr = jnp.gradient(data, axis=0)
+    gc = jnp.gradient(data, axis=1)
+    grad = jnp.stack([gr, gc], axis=-1)
+    t = templ.reshape(templ.shape[0], patch, patch)
+
+    def body(p, _):
+        smp = extract_patches_bilinear(data, p + b, patch)       # (N,P,P)
+        g = extract_patches_bilinear(grad, p + b, patch)         # (N,P,P,2)
+        r = smp - t
+        g1, g2 = g[..., 0], g[..., 1]
+        a11 = jnp.sum(g1 * g1, axis=(1, 2))
+        a12 = jnp.sum(g1 * g2, axis=(1, 2))
+        a22 = jnp.sum(g2 * g2, axis=(1, 2))
+        b1 = jnp.sum(g1 * r, axis=(1, 2))
+        b2 = jnp.sum(g2 * r, axis=(1, 2))
+        det = a11 * a22 - a12 * a12
+        inv = jnp.where(jnp.abs(det) > 1e-8, 1.0 / det, 0.0)
+        step = -jnp.stack([(a22 * b1 - a12 * b2) * inv,
+                           (a11 * b2 - a12 * b1) * inv], axis=-1)
+        step = jnp.clip(step, -1.0, 1.0)
+        return p + step, None
+
+    refined, _ = jax.lax.scan(body, pos, None, length=iters)
+    drift = jnp.linalg.norm(refined - pos, axis=1)
+    ok = valid & (drift <= 0.75)
+    return jnp.where(ok[:, None], refined, pos), ok
+
+
+def _projection_matrix(T: jax.Array, intr: jax.Array) -> jax.Array:
+    """(3, 4) P = K [R|t] in (x=col, y=row) convention."""
+    K = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+    K = K.at[0, 0].set(intr[0]).at[1, 1].set(intr[1])
+    K = K.at[0, 2].set(intr[2]).at[1, 2].set(intr[3])
+    return K @ T[:3]
+
+
+def _do_keyframe(state: SlamState, frame2: Image2d, cfg: SlamConfig,
+                 mesh=None, axis: str = "lm") -> SlamState:
+    """Keyframe work: obs write -> PnP pose -> triangulate -> window BA."""
+    intr = jnp.asarray(cfg.intrinsics, jnp.float32)
+    kps = state.tracker.keypoints
+    n, r = state.obs_valid.shape
+    kf = state.n_keyframes               # index of the NEW keyframe
+    col = kf % r
+
+    # --- slot continuity (age handshake) -----------------------------
+    # the slot must have been alive at the previous keyframe
+    # (age_at_kf > 0): a slot that was dead there and respawned on the
+    # very next frame reaches age == 0 + period too, which would keep the
+    # dead particle's template/landmark bound to the new particle
+    first_kf = kf == 0
+    continuous = jnp.where(
+        first_kf, jnp.zeros((n,), bool),
+        kps.alive & (state.age_at_kf > 0)
+        & (kps.age == state.age_at_kf + cfg.keyframe_period))
+    # broken slots lose their history (their particle died/respawned)
+    obs_valid = state.obs_valid & continuous[:, None]
+    lm_valid = state.lm_valid & continuous
+
+    # --- sub-pixel observations (KLT against first-obs templates) -----
+    # Opt-in: on scenes whose patches blend several depths (dense blob
+    # clouds), template alignment picks up a parallax-blend bias that
+    # grows with travel and hurts more than the 0.5 px integer
+    # quantisation it removes; on locally-planar texture it helps.
+    if cfg.subpix_refine:
+        refined, ref_ok = _refine_obs_subpix(
+            frame2, kps.position, state.lm_desc, continuous & kps.alive,
+            cfg.desc_patch)
+        obs_pos = jnp.where((continuous & ref_ok)[:, None], refined,
+                            jnp.where(continuous[:, None], kps.position,
+                                      jnp.round(kps.position)))
+    else:
+        # new rows observe at the integer centre their template is cut at
+        obs_pos = jnp.where(continuous[:, None], kps.position,
+                            jnp.round(kps.position))
+
+    # --- pose estimate for this keyframe (PnP on live landmarks) ------
+    prev = jnp.where(kf >= 1, (kf - 1) % r, 0)
+    T_prior = state.kf_pose[prev]
+    T_pnp, _ = pnp_gn(T_prior, state.lm_X, obs_pos,
+                      lm_valid & kps.alive, intr,
+                      iters=cfg.pnp_iters, huber=cfg.ba_huber)
+    # bootstrap: keyframes 0 and 1 keep their preset (gauge/scale) poses
+    T_new = jnp.where(kf < 2, state.kf_pose[col], T_pnp)
+
+    kf_pose = state.kf_pose.at[col].set(T_new)
+    kf_valid = state.kf_valid.at[col].set(True)
+
+    # --- write this keyframe's observations ---------------------------
+    # the overwritten ring column belonged to the evicted keyframe
+    obs_valid = obs_valid.at[:, col].set(kps.alive)
+    obs_uv = state.obs_uv.at[:, col].set(obs_pos)
+
+    # descriptors for relocalization: refresh every live slot so the map
+    # always carries its LATEST appearance (patch content around a feature
+    # evolves with parallax; a briefly-lost camera matches against what
+    # the map looked like moments ago, not at each track's birth)
+    ctr = jnp.round(kps.position).astype(jnp.int32) + frame2.border
+    patches = extract_patches(frame2.data, ctr, cfg.desc_patch)
+    desc = patches.reshape(n, -1).astype(jnp.float32)
+    lm_desc = jnp.where(kps.alive[:, None], desc, state.lm_desc)
+
+    # --- triangulate new landmarks ------------------------------------
+    # oldest valid ring column per slot (in keyframe order, the ring
+    # holds keyframes kf-r+1..kf; walk from oldest to newest)
+    ages = jnp.arange(r - 1, -1, -1)     # offsets back from current kf
+    kf_ids = kf - ages                                    # ascending
+    cols = kf_ids % r
+    valid_cols = (kf_ids >= 0) & kf_valid[cols]
+    obs_at = obs_valid[:, cols] & valid_cols[None]        # (N, R) ordered
+    first_ord = jnp.argmax(obs_at, axis=1)                # first True
+    has_two = (jnp.sum(obs_at, axis=1) >= 2) & obs_at[
+        jnp.arange(n), first_ord]
+    first_col = cols[first_ord]
+    uv0 = obs_uv[jnp.arange(n), first_col]                # (N, 2) row,col
+    uv1 = obs_pos
+    parallax = jnp.linalg.norm(uv1 - uv0, axis=1)
+    want = (kps.alive & has_two & ~lm_valid
+            & (parallax >= cfg.min_parallax) & (first_col != col))
+
+    P1 = jax.vmap(lambda c: _projection_matrix(kf_pose[c], intr))(
+        first_col)                                        # (N, 3, 4)
+    P2 = _projection_matrix(T_new, intr)
+    X = jax.vmap(_triangulate_one)(
+        P1, jnp.broadcast_to(P2, (n, 3, 4)),
+        uv0[:, ::-1], uv1[:, ::-1])                       # (x=col, y=row)
+
+    # acceptance: in front of both cameras + reprojection sanity
+    z1 = jax.vmap(lambda T, x: (T @ jnp.append(x, 1.0))[2])(
+        kf_pose[first_col], X)
+    z2 = jax.vmap(lambda x: (T_new @ jnp.append(x, 1.0))[2])(X)
+    re0 = jnp.linalg.norm(project(kf_pose[first_col], X, intr) - uv0,
+                          axis=1)
+    re1 = jnp.linalg.norm(project(T_new[None], X, intr) - uv1, axis=1)
+    good = want & (z1 > 0.05) & (z2 > 0.05) & (re0 < cfg.max_reproj) & (
+        re1 < cfg.max_reproj)
+    lm_X = jnp.where(good[:, None], X, state.lm_X)
+    lm_valid = lm_valid | good
+
+    # --- sliding-window bundle adjustment ------------------------------
+    # fix the two oldest valid keyframes in the ring (gauge + scale)
+    first2_ord = jnp.argsort(jnp.where(valid_cols, jnp.arange(r), r))[:2]
+    fixed = jnp.zeros((r,), bool).at[cols[first2_ord]].set(True)
+    fixed = fixed & kf_valid
+    obs_pose = jnp.broadcast_to(jnp.arange(r)[None], (n, r))
+    ba_obs_valid = obs_valid & lm_valid[:, None] & kf_valid[None]
+    prob = BATracks(poses=kf_pose, landmarks=lm_X,
+                    obs_pose=obs_pose.astype(jnp.int32),
+                    obs_uv=obs_uv, obs_valid=ba_obs_valid,
+                    intrinsics=intr, fixed_poses=fixed)
+    enough = jnp.sum(ba_obs_valid) >= 12
+    solved, _ = ba_solve_tracks(prob, iters=cfg.ba_iters,
+                                huber=cfg.ba_huber, lam0=cfg.ba_lam0,
+                                mesh=mesh, axis=axis)
+    kf_pose = jnp.where(enough, solved.poses, kf_pose)
+    lm_X = jnp.where(enough, solved.landmarks, lm_X)
+
+    # post-BA outlier pruning: an observation that still reprojects worse
+    # than ``prune_reproj`` px is a bad track (a particle that jumped to a
+    # different feature while staying "alive") — drop it so it cannot
+    # keep biasing the window
+    res = track_residuals(solved._replace(poses=kf_pose, landmarks=lm_X))
+    bad = (jnp.linalg.norm(res, axis=-1) > cfg.prune_reproj) & ba_obs_valid
+    obs_valid = jnp.where(enough, obs_valid & ~bad, obs_valid)
+
+    # --- trajectory history -------------------------------------------
+    # write the new keyframe + refresh every keyframe still in the ring
+    # (BA just moved them); out-of-capacity ids drop
+    hcap = state.hist_pose.shape[0]
+    hist_frame = state.hist_frame.at[
+        jnp.where(kf < hcap, kf, hcap)].set(
+        state.tracker.frame_id, mode="drop")
+    in_ring = valid_cols & (kf_ids >= 0) & (kf_ids < hcap)
+    hist_pose = state.hist_pose.at[
+        jnp.where(in_ring, kf_ids, hcap)].set(kf_pose[cols], mode="drop")
+    hist_pose = hist_pose.at[
+        jnp.where(kf < hcap, kf, hcap)].set(kf_pose[col], mode="drop")
+
+    return state.replace(
+        kf_pose=kf_pose, kf_valid=kf_valid, obs_uv=obs_uv,
+        obs_valid=obs_valid, lm_X=lm_X, lm_valid=lm_valid,
+        lm_desc=lm_desc, age_at_kf=kps.age,
+        n_keyframes=kf + 1, hist_pose=hist_pose, hist_frame=hist_frame)
+
+
+def slam_step(state: SlamState, frame1: Image2d, frame2: Image2d,
+              cfg: SlamConfig, mesh=None, axis: str = "lm",
+              pyr1=None, pyr2=None) -> SlamState:
+    """One frame: track, and on keyframe frames run the back-end."""
+    tracker = video_extruder_update(state.tracker, frame1, frame2,
+                                    cfg.tracker, pyr1=pyr1, pyr2=pyr2)
+    state = state.replace(tracker=tracker)
+    is_kf = tracker.frame_id % cfg.keyframe_period == 0
+    return jax.lax.cond(
+        is_kf, lambda s: _do_keyframe(s, frame2, cfg, mesh=mesh,
+                                      axis=axis),
+        lambda s: s, state)
+
+
+def slam_run(frames: jax.Array, cfg: SlamConfig,
+             bootstrap_poses: Optional[jax.Array] = None,
+             mesh=None, axis: str = "lm") -> SlamState:
+    """Whole-clip SLAM under one ``lax.scan`` (frames (T, H, W))."""
+    from ..algorithms.pyramid import pyramid as build_pyramid
+    b = max(3, cfg.tracker.winsize)
+    state = slam_init(cfg, bootstrap_poses)
+
+    def pad(fr):
+        return from_array(fr, border=b, border_mode="mirror")
+
+    def step(carry, fr2):
+        st, f1_data, pyr1 = carry
+        f1 = Image2d(data=f1_data, border=b)
+        f2 = pad(fr2)
+        pyr2 = build_pyramid(f2, cfg.tracker.nscales, border=b)
+        st = slam_step(st, f1, f2, cfg, mesh=mesh, axis=axis,
+                       pyr1=pyr1, pyr2=pyr2)
+        return (st, f2.data, pyr2), None
+
+    f0 = pad(frames[0])
+    pyr0 = build_pyramid(f0, cfg.tracker.nscales, border=b)
+    (final, _, _), _ = jax.lax.scan(step, (state, f0.data, pyr0), frames)
+    return final
+
+
+# ---------------------------------------------------------------------------
+# Relocalization: descriptor match against the live map + PnP.
+# ---------------------------------------------------------------------------
+
+def relocalize(state: SlamState, frame: Image2d, cfg: SlamConfig,
+               detect_th: int = 10, search_radius: float = 8.0,
+               appearance_gate: float = 0.35
+               ) -> Tuple[jax.Array, jax.Array]:
+    """Recover the camera pose of ``frame`` from the map alone (the
+    briefly-lost-tracking scenario): FAST detection, then each live
+    landmark projects with the last keyframe pose as a prior and claims
+    its nearest detection within ``search_radius`` px, gated by patch
+    appearance (min-over-shift SAD vs its latest descriptor — the local
+    grid_index matching capability); the claimed 2D-3D pairs feed an
+    annealed-Huber GN PnP.
+
+    Returns (pose (4, 4), mean reprojection error of the matches). The
+    map's descriptors carry its most recent appearance, so this recovers
+    poses near the current keyframe; long-absence relocalization would
+    need viewpoint-invariant descriptors (future work)."""
+    from ..algorithms.fast import fast9
+
+    intr = jnp.asarray(cfg.intrinsics, jnp.float32)
+    pos, score, valid = fast9(frame, detect_th, k=cfg.tracker.detect_k,
+                              blockwise=True,
+                              block_size=cfg.tracker.keypoint_spacing)
+    posf = pos.astype(jnp.float32)
+
+    # landmark predictions under the prior pose
+    colp = jnp.where(state.n_keyframes > 0,
+                     (state.n_keyframes - 1) % cfg.ring, 0)
+    T_prior = state.kf_pose[colp]
+    pred = project(T_prior[None], state.lm_X, intr)        # (N, 2)
+
+    # each landmark claims its nearest detection within the radius
+    d2 = jnp.sum((pred[:, None] - posf[None]) ** 2, axis=-1)   # (N, Q)
+    d2 = jnp.where(valid[None], d2, _HUGE)
+    claim = jnp.argmin(d2, axis=1)                             # (N,)
+    near = jnp.min(d2, axis=1) <= search_radius ** 2
+    uv = posf[claim]
+
+    # appearance gate: min-over-shift SAD of the claimed detection's
+    # patch vs the landmark's latest descriptor (phase-robust)
+    best = jnp.full((state.lm_X.shape[0],), _HUGE)
+    for drr in (-1, 0, 1):
+        for dcc in (-1, 0, 1):
+            off = jnp.asarray([drr, dcc], jnp.int32)
+            patches = extract_patches(
+                frame.data, pos[claim] + off[None] + frame.border,
+                cfg.desc_patch)
+            q = patches.reshape(-1, cfg.desc_patch ** 2)
+            best = jnp.minimum(
+                best, jnp.sum(jnp.abs(q - state.lm_desc), axis=1))
+    energy = jnp.maximum(jnp.sum(jnp.abs(state.lm_desc), axis=1), 1.0)
+    ok = (state.lm_valid & near & (best < appearance_gate * energy))
+
+    # annealed-Huber GN: wide basin first, tight polish after (robust to
+    # the residual outlier fraction without RANSAC)
+    T1, _ = pnp_gn(T_prior, state.lm_X, uv, ok, intr,
+                   iters=cfg.pnp_iters, huber=4 * cfg.ba_huber)
+    return pnp_gn(T1, state.lm_X, uv, ok, intr,
+                  iters=cfg.pnp_iters, huber=cfg.ba_huber / 2)
+
+
+def keyframe_trajectory(state: SlamState) -> Tuple[jax.Array, jax.Array]:
+    """(n_kf, 4, 4) optimized keyframe poses + their frame ids (host use)."""
+    n = int(state.n_keyframes)
+    return state.hist_pose[:n], state.hist_frame[:n]
+
+
+def ate_rmse(est: jax.Array, gt: jax.Array) -> jax.Array:
+    """Absolute trajectory error (camera-centre RMSE, no alignment —
+    the gauge is pinned by the bootstrap poses)."""
+    c_est = jax.vmap(lambda T: -T[:3, :3].T @ T[:3, 3])(est)
+    c_gt = jax.vmap(lambda T: -T[:3, :3].T @ T[:3, 3])(gt)
+    return jnp.sqrt(jnp.mean(jnp.sum((c_est - c_gt) ** 2, axis=1)))
