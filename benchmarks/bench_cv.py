@@ -1,45 +1,101 @@
-import time, numpy as np, jax, jax.numpy as jnp
-from vpp_tpu.algorithms.flow import _cost_volume, _displacement_table
-from vpp_tpu.ops.pallas_kernels import cost_volume_pallas, cost_volume_fits
+"""A/B benchmark: the fused Pallas flow level vs the XLA formulation it
+replaces, at every pyramid level of the headline bench config (640x480,
+winsize 9, patch 5, R 5) — the measurement the fused kernel's existence
+must justify (it was once shipped unmeasured; never again).
 
-H, W, B = 480, 640, 9
-ws, patch = 9, 5
-gh, gw = H // patch, W // patch
-R = 5
-disp, offsets = _displacement_table(R)
-off = ws // 2 - patch // 2
-r0 = B - off
-hb, wb = H + 2 * B, W + 2 * B
-fits = cost_volume_fits(hb, wb, r0, r0, ws, patch, gh, gw, R)
-print("fits:", fits)
+Run on the chip:  python benchmarks/bench_cv.py
+Prints one JSON line per (level, path) with ms/iter, plus a correctness
+cross-check of flow/dist between the two paths.
+"""
 
-rng = np.random.RandomState(0)
-a1 = jnp.asarray(rng.rand(hb, wb).astype(np.float32) * 255)
-a2 = jnp.asarray(rng.rand(hb, wb).astype(np.float32) * 255)
+import json
+import sys
+import time
+from pathlib import Path
 
-xla = jax.jit(lambda a, b: _cost_volume(a, b, B, ws, patch, gh, gw, R, offsets))
-v1 = np.asarray(jax.block_until_ready(xla(a1, a2)))
-if fits:
-    pal = jax.jit(lambda a, b: cost_volume_pallas(a, b, r0=r0, c0=r0, ws=ws, patch=patch, gh=gh, gw=gw, offsets=tuple(offsets)))
-    v2 = np.asarray(jax.block_until_ready(pal(a1, a2)))
-    print("max abs diff:", np.abs(v1 - v2).max(), "rel:", (np.abs(v1-v2)/(np.abs(v1)+1e-6)).max())
-else:
-    print("pallas config exceeds VMEM budget / bounds — skipping pallas runs")
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-def scan_time(name, fn, n=50):
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from vpp_tpu.algorithms import flow as F
+from vpp_tpu.algorithms.pyramid import level_shapes
+
+H, W = 480, 640
+WS, PATCH, R = 9, 5, 5
+NSCALES = 3
+B = max(3, WS)
+ITERS = 30
+
+
+def scan_time(fn, *args, iters=ITERS):
     @jax.jit
-    def run(a, b):
-        def step(c, i):
-            v = fn(a + c, b)
-            return c + v[0,0,0]*0, None
-        c, _ = jax.lax.scan(step, jnp.float32(0), jnp.arange(n))
+    def run(c, a):
+        def step(cc, _):
+            out = fn(a + cc, *args[1:])
+            return cc + out[0].astype(jnp.float32).sum() * 1e-30, None
+        c, _ = jax.lax.scan(step, c, None, length=iters)
         return c
-    jax.block_until_ready(run(a1, a2)); np.asarray(run(a1, a2))
+
+    jax.block_until_ready(run(jnp.float32(0), args[0]))
+    np.asarray(run(jnp.float32(0), args[0]))          # hard sync (tunnel)
     ts = []
     for _ in range(5):
-        t0 = time.perf_counter(); jax.block_until_ready(run(a1, a2)); ts.append(time.perf_counter()-t0)
-    print(f"{name:20s} {sorted(ts)[2]/n*1e3:8.3f} ms/iter")
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(jnp.float32(0), args[0]))
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[2] / iters * 1e3
 
-scan_time("xla cost_volume", lambda a,b: _cost_volume(a, b, B, ws, patch, gh, gw, R, offsets))
-if fits:
-    scan_time("pallas cost_volume", lambda a,b: cost_volume_pallas(a, b, r0=r0, c0=r0, ws=ws, patch=patch, gh=gh, gw=gw, offsets=tuple(offsets)))
+
+def main():
+    rng = np.random.RandomState(0)
+    disp, offsets = F._displacement_table(R)
+    shapes = level_shapes((H, W), NSCALES)
+    grids = level_shapes((H // PATCH, W // PATCH), NSCALES)
+
+    for s in range(NSCALES):
+        h, w = shapes[s]
+        gh, gw = grids[s]
+        pred_bound = (0 if s == NSCALES - 1 else
+                      2 * R * (2 ** (NSCALES - 1 - s) - 1))
+        hb, wb = h + 2 * B, w + 2 * B
+        a1 = jnp.asarray(rng.randint(0, 256, (hb, wb)).astype(np.float32))
+        a2 = jnp.asarray(rng.randint(0, 256, (hb, wb)).astype(np.float32))
+        pred = jnp.asarray(
+            2 * rng.randint(-pred_bound // 2 - 1, pred_bound // 2 + 1,
+                            (gh, gw, 2)) if pred_bound else
+            np.zeros((gh, gw, 2)), jnp.int32)
+
+        def xla_level(a1_, a2_=a2, pred_=pred, h_=h, w_=w, gh_=gh, gw_=gw,
+                      pb_=pred_bound):
+            return F._flow_level_xla(a1_, a2_, pred_, B, h_, w_, WS, PATCH,
+                                     gh_, gw_, R, offsets, disp, pb_, 2)
+
+        def pallas_level(a1_, a2_=a2, pred_=pred, h_=h, w_=w, gh_=gh,
+                         gw_=gw, pb_=pred_bound):
+            return F._flow_level_fused(a1_, a2_, pred_, B, h_, w_, WS,
+                                       PATCH, gh_, gw_, R, offsets, pb_, 2)
+
+        fits = F._fused_level_ok(hb, wb, B, WS, PATCH, gh, gw, R)
+        t_xla = scan_time(xla_level, a1)
+        rec = {"level": s, "shape": f"{w}x{h}", "grid": f"{gw}x{gh}",
+               "pred_bound": pred_bound, "xla_ms": round(t_xla, 3)}
+        if fits:
+            t_pal = scan_time(pallas_level, a1)
+            rec["pallas_ms"] = round(t_pal, 3)
+            rec["speedup"] = round(t_xla / t_pal, 2)
+            fx, dx = jax.block_until_ready(jax.jit(xla_level)(a1))
+            fp, dp = jax.block_until_ready(jax.jit(pallas_level)(a1))
+            rec["flow_equal"] = bool((np.asarray(fx) == np.asarray(fp)
+                                      ).all())
+            rec["dist_maxdiff"] = float(np.abs(
+                np.asarray(dx) - np.asarray(dp)).max())
+        else:
+            rec["pallas_ms"] = None
+        print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()

@@ -201,3 +201,33 @@ def test_fast9_mask_blocks_detection():
     mask = np.zeros((20, 20), np.uint8)  # all masked out
     s = fast9_score_image(_img(a), 20, mask=jnp.asarray(mask))
     assert int(s.interior.sum()) == 0
+
+
+def test_fast9_score_at_matches_score_image():
+    rng = np.random.RandomState(3)
+    a = rng.randint(0, 255, (40, 60)).astype(np.int32)
+    img = _img(a)
+    from vpp_tpu.algorithms.fast import fast9_score_at
+    pts = np.stack([rng.randint(0, 40, 64),
+                    rng.randint(0, 60, 64)], axis=-1).astype(np.int32)
+    per_kp = np.asarray(fast9_score_at(img, jnp.asarray(pts), 10))
+    full = np.asarray(fast9_score(img, 10))
+    np.testing.assert_array_equal(per_kp, full[pts[:, 0], pts[:, 1]])
+
+
+def test_fast9_blockwise_matches_filter_plus_select():
+    """The fused blockwise top-K extracts the same keypoint set as the
+    scatter-back formulation (order may differ for equal scores)."""
+    rng = np.random.RandomState(5)
+    a = rng.randint(0, 255, (48, 64)).astype(np.int32)
+    img = _img(a)
+    pos, score, valid = fast9(img, 10, k=64, blockwise=True, block_size=8)
+    s = fast9_score_image(img, 10)
+    s = blockwise_maxima_filter(s, 8)
+    pos2, score2, valid2 = select_keypoints(s, 64)
+    got = {(int(r), int(c), int(sc)) for (r, c), sc, v in
+           zip(np.asarray(pos), np.asarray(score), np.asarray(valid)) if v}
+    want = {(int(r), int(c), int(sc)) for (r, c), sc, v in
+            zip(np.asarray(pos2), np.asarray(score2), np.asarray(valid2))
+            if v}
+    assert got == want

@@ -140,3 +140,29 @@ def test_sparse_optical_flow_translation():
     flow = (np.asarray(out.pos2) - np.asarray(out.pos1))[v]
     med = np.median(flow, axis=0)
     np.testing.assert_allclose(med, [-2.0, -2.0], atol=0.3)
+
+
+def test_epipolar_filter_kills_off_line_matches():
+    """epipolar_filter kills matches farther than th px from the source
+    point's epipolar line (working version of the reference's parsed-but-
+    unused _epipolar_filter, semi_dense_optical_flow.hpp:65-66)."""
+    tex = _texture()
+    i1 = _frame(tex, 0, 0)
+    rng = np.random.RandomState(1)
+    pts = np.stack([rng.randint(20, 76, 30),
+                    rng.randint(20, 108, 30)], axis=-1).astype(np.float32)
+    pts = jnp.asarray(pts)
+    valid = jnp.ones(30, bool)
+    # F whose epipolar lines are row = const: line(p) = (1, 0, -p_r)
+    F = jnp.asarray(np.array([[0, 0, 1], [0, 0, 0], [-1, 0, 0]],
+                             np.float32))
+    kw = dict(winsize=7, nscales=3, propagation=2, patchsize=5,
+              fundamental_matrix=F, epipolar_filter=2.0)
+    # column-only motion: residual |m_r - p_r| ~ 0 -> all survive
+    _, _, ok_along = semi_dense_optical_flow(
+        pts, valid, i1, _frame(tex, 0, 2), **kw)
+    assert np.asarray(ok_along).mean() > 0.9
+    # row motion of 3 px: residual ~ 3 > 2 -> (almost) all killed
+    _, _, ok_across = semi_dense_optical_flow(
+        pts, valid, i1, _frame(tex, 3, 0), **kw)
+    assert np.asarray(ok_across).mean() < 0.2

@@ -116,3 +116,60 @@ def test_hough_tracker_coasts_and_dies():
     st, _ = hough_tracker_update(st, blank, cfg)
     st, _ = hough_tracker_update(st, blank, cfg)
     assert np.asarray(st.age).max() == 0   # died after the budget
+
+
+def test_hough_peaks_clustered_two_lines():
+    """Clustered local-maxima peaks (Hough_Lines_Parallel_Kmeans
+    capability) find both lines and suppress in-window duplicates."""
+    from vpp_tpu.algorithms.hough import hough_peaks_clustered
+    h, w = 96, 128
+    a = np.zeros((h, w), np.float32)
+    a[30:32] = 200.0
+    a[70:72] = 200.0
+    img = from_array(jnp.asarray(a), border=3, border_mode="mirror")
+    acc = hough_accumulator(img, t_theta=181, grad_threshold=40.0)
+    peaks = hough_peaks_clustered(acc, 6, threshold=10.0)
+    theta, rho = accumulator_to_lines(peaks, acc.shape, img.shape)
+    got = sorted(float(r) for r, v in zip(rho, peaks.valid) if v)
+    # both bands found (each contributes edges near rows 30 and 70),
+    # no two peaks within the suppression window of each other
+    assert any(abs(g - 30.5) < 4 for g in got), got
+    assert any(abs(g - 70.5) < 4 for g in got), got
+
+
+def test_hough_sparse_revote_masks_other_lines():
+    """Sparse re-vote along a known line sees only that line's votes
+    (Hough_Lines_Parallel_Sparse capability)."""
+    from vpp_tpu.algorithms.hough import (hough_peaks_clustered,
+                                          hough_sparse_revote)
+    h, w = 96, 128
+    a = np.zeros((h, w), np.float32)
+    a[30:32] = 200.0
+    a[70:72] = 200.0
+    img = from_array(jnp.asarray(a), border=3, border_mode="mirror")
+    # re-vote only around the row-30 line: θ = π/2, ρ = 30.5
+    theta = jnp.asarray([np.pi / 2], jnp.float32)
+    rho = jnp.asarray([30.5], jnp.float32)
+    acc = hough_sparse_revote(img, theta, rho, jnp.asarray([True]),
+                              band=5.0, t_theta=181)
+    peaks = hough_peaks_clustered(acc, 4, threshold=10.0)
+    th2, rho2 = accumulator_to_lines(peaks, acc.shape, img.shape)
+    got = [float(r) for r, v in zip(rho2, peaks.valid) if v]
+    assert got, "line under the mask must be found"
+    assert all(abs(g - 30.5) < 6 for g in got), got
+
+
+def test_hough_adaptive_threshold_reaches_band():
+    """adap_thresold capability: threshold adapts until the local-maxima
+    count is inside the target band."""
+    from vpp_tpu.algorithms.hough import (_local_maxima_mask,
+                                          hough_adaptive_threshold)
+    rng = np.random.RandomState(0)
+    # noisy accumulator with many weak maxima
+    acc = jnp.asarray(rng.rand(181, 160).astype(np.float32) * 100)
+    th, n = hough_adaptive_threshold(acc, target_lo=5, target_hi=40,
+                                     th0=1.0, max_calls=5,
+                                     nms_theta=4, nms_rho=4)
+    n0 = int(jnp.sum(_local_maxima_mask(acc, 4, 4, jnp.float32(1.0))))
+    assert n0 > 40          # started out of band
+    assert int(n) <= 40 or float(th) > 1.0   # moved toward the band

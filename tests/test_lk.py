@@ -99,3 +99,48 @@ def test_pyrlk_level_kill_semantics(monkeypatch):
     np.testing.assert_allclose(np.asarray(out.position[0]), [52.0, 52.0])
     # kp1 fails at the finest level -> dist=9 -> killed
     assert not bool(out.alive[1]), "finest-level failure must kill"
+
+
+def test_oriented_lk_axis_aligned_matches_plain():
+    """With match directions (0,1) the rotated window is a row-flip of the
+    square window — identical sample set, so oriented LK must reproduce
+    plain LK exactly (lk.hh:178-317 vs lk.hh:40-175)."""
+    from vpp_tpu.algorithms.lk import oriented_lk_match_batch
+    from vpp_tpu.algorithms.scharr import scharr
+
+    i1 = _blurred_square(0, 0)
+    i2 = _blurred_square(2, 1)
+    g = scharr(i1)
+    p = jnp.array([[52.0, 52.0], [51.0, 53.0]])
+    pred = jnp.zeros((2, 2), jnp.float32)
+    dirs = jnp.broadcast_to(jnp.array([0.0, 1.0]), (2, 2))
+    kw = dict(winsize=11, min_ev=1e-4, niterations=15,
+              convergence_delta=0.01)
+    f0, e0 = lk_match_batch(i1, i2, g, p, pred, **kw)
+    f1, e1 = oriented_lk_match_batch(i1, i2, g, p, pred,
+                                     match_direction1=dirs,
+                                     match_direction2=dirs,
+                                     max_step_norm=100.0, **kw)
+    np.testing.assert_allclose(np.asarray(f0), np.asarray(f1),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(e0), np.asarray(e1),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_oriented_lk_step_clamp_limits_travel():
+    """max_step_norm bounds per-iteration travel (lk.hh:280-284)."""
+    from vpp_tpu.algorithms.lk import oriented_lk_match_batch
+    from vpp_tpu.algorithms.scharr import scharr
+
+    i1 = _blurred_square(0, 0)
+    i2 = _blurred_square(4, 4)
+    g = scharr(i1)
+    p = jnp.array([[52.0, 52.0]])
+    pred = jnp.zeros((1, 2), jnp.float32)
+    dirs = jnp.array([[0.0, 1.0]])
+    flow, _ = oriented_lk_match_batch(
+        i1, i2, g, p, pred, match_direction1=dirs, match_direction2=dirs,
+        winsize=11, min_ev=1e-4, niterations=3, convergence_delta=0.01,
+        max_step_norm=0.5)
+    # 3 iterations x max 0.5 px => at most 1.5 px of travel
+    assert float(jnp.linalg.norm(flow[0])) <= 1.5 + 1e-5

@@ -1,0 +1,117 @@
+"""Loop closure + pose-graph smoothing + blackout recovery.
+
+The camera travels out and back (a loop); sliding-window VO drifts with
+no global constraint. Revisiting archived landmarks fires loop-closure
+edges, and the pose-graph smoother must beat the window-only (dead
+reckoned) trajectory. Plus: a mid-sequence blackout kills the tracker
+and the engine recovers its pose from the archive (the lifecycle
+capability the reference's tracker embodies per-keypoint, lifted to the
+whole camera)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vpp_tpu.algorithms.video_extruder import VideoExtruderConfig
+from vpp_tpu.slam.pipeline import (SlamConfig, ate_rmse,
+                                   keyframe_trajectory, slam_run)
+from vpp_tpu.utils.synth import make_cloud, render_frames
+
+H, W = 120, 160
+INTR = (160.0, 160.0, 80.0, 60.0)
+
+
+def _loop_poses(n_out=16, n_back=16, step=0.06):
+    """Out-and-back translation along x (returns near the start)."""
+    xs = list(np.arange(n_out) * step)
+    xs += list(xs[-1] - np.arange(1, n_back + 1) * step)
+    poses = []
+    for x in xs:
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = [-x, 0.0, 0.0]       # cam-from-world, R = I
+        poses.append(T)
+    return np.stack(poses)
+
+
+def _cfg(**kw):
+    base = dict(
+        intrinsics=INTR, keyframe_period=4, ring=6, ba_iters=3,
+        min_parallax=2.0, max_reproj=2.0, history=16,
+        lc_min_gap=10, lc_min_inliers=10, lc_max_err=1.5,
+        tracker=VideoExtruderConfig(capacity=256, detect_k=128, nscales=3,
+                                    winsize=9, keypoint_spacing=8,
+                                    detector_period=1, detector_th=8))
+    base.update(kw)
+    return SlamConfig(**base)
+
+
+def _run(frames, poses_gt, cfg):
+    boot = jnp.asarray(poses_gt[[0, cfg.keyframe_period]])
+    state = jax.jit(lambda f: slam_run(f, cfg, bootstrap_poses=boot))(
+        jnp.asarray(frames))
+    est, fids = keyframe_trajectory(state)
+    gt = jnp.asarray(poses_gt[np.asarray(fids)])
+    return state, float(ate_rmse(est, gt))
+
+
+def test_loop_closure_improves_ate():
+    """A drift spike (blackout mid-outbound) followed by a return leg:
+    the archive recovers the pose after the spike and revisit closures +
+    the pose-graph smoother must beat the bare sliding window, which
+    carries the spike's offset forever."""
+    pts = make_cloud(220, seed=0, extent=(6.0, 4.0, 3.0),
+                     center=(0.4, 0.0, 5.0))
+    poses_gt = _loop_poses(n_out=20, n_back=20)
+    frames = render_frames(pts, poses_gt, INTR, (H, W), seed=0,
+                           sigma=(1.0, 1.8)).copy()
+    frames[10:13] = 0.0                          # drift spike
+    cfg_on = _cfg(history=24, lc_max_err=4.5, lc_min_gap=8)
+    # archive machinery fully disabled: no recovery, no closures
+    cfg_off = _cfg(history=24, lc_min_inliers=10 ** 6)
+
+    state_on, ate_on = _run(frames, poses_gt, cfg_on)
+    state_off, ate_off = _run(frames, poses_gt, cfg_off)
+
+    assert int(state_off.lc_ptr) == 0
+    n_lc = int(state_on.lc_ptr)
+    assert n_lc >= 1, "revisiting archived landmarks must fire a closure"
+    assert ate_on < ate_off, (ate_on, ate_off)
+
+
+def test_blackout_recovery():
+    pts = make_cloud(220, seed=1, extent=(6.0, 4.0, 3.0),
+                     center=(0.6, 0.0, 5.0))
+    n_frames = 26
+    from vpp_tpu.utils.synth import camera_path
+    poses_gt = camera_path(n_frames, step=(0.05, 0.0, 0.0))
+    frames = render_frames(pts, poses_gt, INTR, (H, W), seed=1,
+                           sigma=(1.0, 1.8)).copy()
+    frames[13:15] = 0.0                           # blackout
+    # archive entries need only be older than the blackout, not "a loop"
+    cfg = _cfg(lc_min_gap=6, min_tracked=10)
+
+    state, ate = _run(frames, poses_gt, cfg)
+    est, fids = keyframe_trajectory(state)
+    fids = np.asarray(fids)
+    # keyframes continue through and after the blackout...
+    assert fids[-1] >= 20, fids
+    # ...the engine survives: the landmark map rebuilds post-blackout...
+    assert int(np.asarray(state.lm_valid).sum()) > 30
+
+    def cerr(k):
+        T = np.asarray(est[k])
+        c_est = -T[:3, :3].T @ T[:3, 3]
+        T_gt = poses_gt[fids[k]]
+        c_gt = -T_gt[:3, :3].T @ T_gt[:3, 3]
+        return np.linalg.norm(c_est - c_gt)
+
+    # ...and the first post-blackout keyframe re-localised from the
+    # archive (pose bounded by map accuracy, not diverged): the tracker
+    # lost every particle during frames 13-14, so without the archive
+    # this pose could only be the dead-reckoned prior
+    k16 = int(np.where(fids == 16)[0][0])
+    assert cerr(k16) < 0.45, cerr(k16)
+    # whole-run trajectory stays bounded
+    assert ate < 0.8, ate

@@ -32,6 +32,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.image import Image2d, from_array
 
@@ -85,6 +86,31 @@ def fast9_score(img: Image2d, th: int) -> jax.Array:
     sum_sup = jnp.sum(jnp.where(d > th, d, 0), axis=0)
     sum_inf = jnp.sum(jnp.where(d < -th, -d, 0), axis=0)
     return jnp.maximum(sum_sup, sum_inf)
+
+
+def fast9_score_at(img: Image2d, positions: jax.Array,
+                   th: int) -> jax.Array:
+    """(K,) FAST score sampled at integer ``positions`` (row, col, interior
+    coords) — the per-keypoint form of ``fast9_score`` for the tracker's
+    every-frame cull (video_extruder.hpp:87-91). 17 small gathers per call
+    instead of a full-image score map; identical values at the sampled
+    pixels. Needs border >= 3."""
+    assert img.border >= 3
+    b = img.border
+    wb = img.data.shape[1]
+    p = positions + b
+    # ONE flattened gather for all 17 samples per keypoint — separate
+    # 2-D gathers per circle offset are ~2x slower than the full-image
+    # score map on TPU; a single linearised take is ~4x faster than it
+    offs = jnp.asarray(np.array([(0, 0)] + CIRCLE, np.int32))   # (17, 2)
+    flat = ((p[:, None, 0] + offs[None, :, 0]) * wb
+            + (p[:, None, 1] + offs[None, :, 1]))               # (K, 17)
+    smp = jnp.take(img.data.reshape(-1), flat.reshape(-1),
+                   mode="clip").reshape(flat.shape).astype(jnp.int32)
+    d = smp[:, 1:] - smp[:, :1]                                 # (K, 16)
+    s_sup = jnp.sum(jnp.where(d > th, d, 0), axis=1)
+    s_inf = jnp.sum(jnp.where(d < -th, -d, 0), axis=1)
+    return jnp.maximum(s_sup, s_inf)
 
 
 def fast9_score_image(img: Image2d, th: int,
@@ -156,6 +182,45 @@ def select_keypoints(scores: Image2d, k: int
     return pos, score, valid
 
 
+def _blockwise_keypoints(scores: Image2d, block_size: int, k: int
+                         ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Fused per-block argmax + top-K (fast.hpp:744-799 capability).
+
+    Equivalent to blockwise_maxima_filter + select_keypoints but never
+    scatters back to the full image: the per-block winners (<= nbr*nbc of
+    them, one per ``block_size`` square) go straight into the top-K, which
+    then runs over ~h*w/block_size² candidates instead of h*w pixels —
+    the hot path of the tracker's periodic detection."""
+    a = scores.interior.astype(jnp.int32)
+    h, w = a.shape
+    bs = block_size
+    nbr, nbc = -(-h // bs), -(-w // bs)
+    padded = jnp.pad(a, [(0, nbr * bs - h), (0, nbc * bs - w)],
+                     constant_values=-1)
+    blocks = padded.reshape(nbr, bs, nbc, bs).transpose(0, 2, 1, 3)
+    flat = blocks.reshape(nbr, nbc, bs * bs)
+    idx = jnp.argmax(flat, axis=-1)            # first max, row-major in block
+    vmax = jnp.max(flat, axis=-1)
+    pos_r = jnp.arange(nbr)[:, None] * bs + idx // bs
+    pos_c = jnp.arange(nbc)[None, :] * bs + idx % bs
+    cand_score = jnp.maximum(vmax, 0).reshape(-1)
+    cand_pos = jnp.stack([pos_r, pos_c], axis=-1).reshape(-1, 2)
+    nb = cand_score.shape[0]
+    # bias by reverse block id so equal scores extract block-row-major
+    key = cand_score * nb + (nb - 1 - jnp.arange(nb, dtype=jnp.int32))
+    kk = min(k, nb)
+    topv, topi = jax.lax.top_k(jnp.where(cand_score > 0, key, -1), kk)
+    valid = topv >= 0
+    pos = cand_pos[topi].astype(jnp.int32)
+    score = jnp.where(valid, cand_score[topi], 0)
+    if kk < k:
+        pad = k - kk
+        pos = jnp.concatenate([pos, jnp.zeros((pad, 2), jnp.int32)])
+        score = jnp.concatenate([score, jnp.zeros((pad,), score.dtype)])
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
+    return pos, score, valid
+
+
 def fast9(img: Image2d, th: int, *, k: int = 512,
           local_maxima: bool = False, blockwise: bool = False,
           block_size: int = 10,
@@ -171,5 +236,5 @@ def fast9(img: Image2d, th: int, *, k: int = 512,
     if local_maxima:
         s = local_maxima_filter(s)
     if blockwise:
-        s = blockwise_maxima_filter(s, block_size)
+        return _blockwise_keypoints(s, block_size, k)
     return select_keypoints(s, k)

@@ -233,6 +233,57 @@ def _fused_level_ok(hb: int, wb: int, b: int, ws: int, patch: int,
                            ws, patch, gh, gw, R)
 
 
+def _flow_level_xla(a1: jax.Array, a2: jax.Array, pred: jax.Array,
+                    b: int, h: int, w: int, ws: int, patch: int,
+                    gh: int, gw: int, R: int, offsets: list,
+                    disp: np.ndarray, pred_bound: int,
+                    prop_iters: int) -> Tuple[jax.Array, jax.Array]:
+    """One level through the XLA formulation: warp + cost volume + ordered
+    argmin + in-domain rejection + Jacobi propagation. Same semantics as
+    ``_flow_level_fused`` (the Pallas kernel); parity is pinned by
+    tests/test_pallas_flow.py."""
+    if pred_bound == 0:
+        a2w = a2                                   # pred == 0
+    else:
+        a2w = _warp_by_cell_flow(a2, pred, b, h, w, patch, pred_bound)
+
+    vol = _cost_volume(a1, a2w, b, ws, patch, gh, gw, R, offsets)
+    best = jnp.argmin(vol, axis=0)                 # (gh, gw)
+    delta = jnp.asarray(disp)[best]                # (gh, gw, 2)
+    dist = jnp.min(vol, axis=0)
+    flow = pred + delta
+
+    # out-of-domain candidates are rejected like the reference's
+    # INT_MAX (hpp:102-108): centre pixel of the matched window must
+    # stay inside the level domain
+    ctr_r = (jnp.arange(gh)[:, None] * patch + patch // 2)
+    ctr_c = (jnp.arange(gw)[None, :] * patch + patch // 2)
+    tgt_r = ctr_r + flow[..., 0]
+    tgt_c = ctr_c + flow[..., 1]
+    in_dom = ((tgt_r >= 0) & (tgt_r <= h - 1) &
+              (tgt_c >= 0) & (tgt_c <= w - 1))
+    flow = jnp.where(in_dom[..., None], flow, pred)
+    dist = jnp.where(in_dom, dist, _INF)
+
+    # propagation: Jacobi adopt-better-neighbour (hpp:146-201),
+    # scored by cost-volume lookup — no new SAD evaluations
+    for _ in range(prop_iters):
+        best_nf, best_nd = flow, dist
+        for dr, dc in _C8:
+            nf = jnp.roll(flow, (-dr, -dc), axis=(0, 1))
+            rr = jnp.arange(gh)[:, None] + dr
+            cc = jnp.arange(gw)[None, :] + dc
+            inside = (rr >= 0) & (rr < gh) & (cc >= 0) & (cc < gw)
+            q = nf - pred                          # volume-relative
+            cand_d = _volume_lookup(vol, q, R)
+            far = (jnp.sum((flow - nf) ** 2, axis=-1) > 4)
+            ok = inside & far & (cand_d < best_nd)
+            best_nf = jnp.where(ok[..., None], nf, best_nf)
+            best_nd = jnp.where(ok, cand_d, best_nd)
+        flow, dist = best_nf, best_nd
+    return flow, dist
+
+
 _FLAT_CACHE = {}
 
 
@@ -290,6 +341,7 @@ def semi_dense_optical_flow(
         search_niters: int = 5,
         fundamental_matrix: Optional[jax.Array] = None,
         epipolar_flow: bool = False, epipolar_steps: int = 8,
+        epipolar_filter: Optional[float] = None,
         pyr1: Optional[Pyramid] = None, pyr2: Optional[Pyramid] = None,
         use_pallas: Optional[bool] = None,
         ) -> Tuple[jax.Array, jax.Array, jax.Array]:
@@ -302,11 +354,17 @@ def semi_dense_optical_flow(
     search radius (the descent's max travel). ``pyr1``/``pyr2`` may be
     supplied to reuse pyramids across calls (the tracker does).
 
+    ``epipolar_filter``: with ``fundamental_matrix``, kill matches whose
+    matched position lies more than this many pixels from the source
+    point's epipolar line (the reference *parses* ``_epipolar_filter``
+    with default threshold 2 but never applies it —
+    semi_dense_optical_flow.hpp:65-66; here it works).
+
     ``use_pallas``: None = auto (fused VMEM kernel on TPU when the level
     fits, XLA everywhere else); True/False force it. The two paths compute
-    the same quantities; the kernel's bf16 SAD accumulation can move an
-    argmin across a near-tie (~1e-3 relative), which the propagation sweeps
-    absorb.
+    identical quantities (bit-level for grayscale pyramids — the kernel's
+    f32 SAD matches the XLA reduce_window exactly; see
+    tests/test_pallas_flow.py).
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
@@ -405,48 +463,9 @@ def semi_dense_optical_flow(
             levels[s] = _Level(flow=flow, dist=dist, mark=mark)
             continue
 
-        if pred_bound == 0:
-            a2w = a2                                   # pred == 0
-        else:
-            a2w = _warp_by_cell_flow(a2, pred, b, h, w, patchsize,
-                                     pred_bound)
-
-        vol = _cost_volume(a1, a2w, b, winsize, patchsize, gh, gw, R,
-                           offsets)
-        best = jnp.argmin(vol, axis=0)                 # (gh, gw)
-        delta = jnp.asarray(disp)[best]                # (gh, gw, 2)
-        dist = jnp.min(vol, axis=0)
-        flow = pred + delta
-
-        # out-of-domain candidates are rejected like the reference's
-        # INT_MAX (hpp:102-108): centre pixel of the matched window must
-        # stay inside the level domain
-        ctr_r = (jnp.arange(gh)[:, None] * patchsize + patchsize // 2)
-        ctr_c = (jnp.arange(gw)[None, :] * patchsize + patchsize // 2)
-        tgt_r = ctr_r + flow[..., 0]
-        tgt_c = ctr_c + flow[..., 1]
-        in_dom = ((tgt_r >= 0) & (tgt_r <= h - 1) &
-                  (tgt_c >= 0) & (tgt_c <= w - 1))
-        flow = jnp.where(in_dom[..., None], flow, pred)
-        dist = jnp.where(in_dom, dist, _INF)
-
-        # propagation: Jacobi adopt-better-neighbour (hpp:146-201),
-        # scored by cost-volume lookup — no new SAD evaluations
-        for _ in range(propagation):
-            best_nf, best_nd = flow, dist
-            for dr, dc in _C8:
-                nf = jnp.roll(flow, (-dr, -dc), axis=(0, 1))
-                rr = jnp.arange(gh)[:, None] + dr
-                cc = jnp.arange(gw)[None, :] + dc
-                inside = (rr >= 0) & (rr < gh) & (cc >= 0) & (cc < gw)
-                q = nf - pred                          # volume-relative
-                cand_d = _volume_lookup(vol, q, R)
-                far = (jnp.sum((flow - nf) ** 2, axis=-1) > 4)
-                ok = inside & far & (cand_d < best_nd)
-                best_nf = jnp.where(ok[..., None], nf, best_nf)
-                best_nd = jnp.where(ok, cand_d, best_nd)
-            flow, dist = best_nf, best_nd
-
+        flow, dist = _flow_level_xla(a1, a2, pred, b, h, w, winsize,
+                                     patchsize, gh, gw, R, offsets, disp,
+                                     pred_bound, propagation)
         levels[s] = _Level(flow=flow, dist=dist, mark=mark)
 
     # final per-keypoint readout (hpp:205-212)
@@ -459,6 +478,17 @@ def semi_dense_optical_flow(
     f = (lvl.flow[c[:, 0], c[:, 1]] * (2 ** min_scale)).astype(jnp.float32)
     match_pos = positions + f
     distance = lvl.dist[c[:, 0], c[:, 1]]
+
+    # epipolar residual filter: |match · line(p)| / ||line[:2]|| > th kills
+    if epipolar_filter is not None and fundamental_matrix is not None:
+        F0 = jnp.asarray(fundamental_matrix, jnp.float32)
+        hom = jnp.concatenate([positions,
+                               jnp.ones((k, 1), jnp.float32)], axis=1)
+        line = hom @ F0.T                                   # (K, 3)
+        nrm = jnp.linalg.norm(line[:, :2], axis=1)
+        res = jnp.abs(jnp.sum(line[:, :2] * match_pos, axis=1)
+                      + line[:, 2]) / jnp.maximum(nrm, 1e-12)
+        matched = matched & (res <= epipolar_filter)
     return match_pos, distance, matched
 
 

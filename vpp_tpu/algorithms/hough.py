@@ -59,13 +59,17 @@ def sobel_gradients(img: Image2d) -> Tuple[jax.Array, jax.Array]:
 
 def hough_accumulator(img: Image2d, *, t_theta: int = 255,
                       rho_bins: int | None = None,
-                      grad_threshold: float = 40.0) -> jax.Array:
+                      grad_threshold: float = 40.0,
+                      vote_weight: str = "binary",
+                      pixel_mask: jax.Array | None = None) -> jax.Array:
     """(t_theta, rho_bins) vote accumulator: one bilinear vote per edge
     pixel at its gradient-normal direction (hpp:57-108).
 
-    Vote weight = 1 for pixels with gradient magnitude above
-    ``grad_threshold`` (the reference thresholds then votes with bilinear
-    fractional weights across the 4 neighbouring (θ, ρ) cells).
+    ``vote_weight``: "binary" votes 1 per edge pixel; "magnitude" votes the
+    gradient magnitude (the Kmeans/Sparse reference variants vote
+    ``deltaI``, dense_one_to_one_hough.hpp Kmeans body). ``pixel_mask``
+    (H, W) restricts voting to masked pixels (the sparse re-vote along
+    known lines — see ``hough_sparse_revote``).
     """
     h, w = img.shape
     if rho_bins is None:
@@ -73,6 +77,8 @@ def hough_accumulator(img: Image2d, *, t_theta: int = 255,
     gy, gx = sobel_gradients(img)
     mag = jnp.sqrt(gx * gx + gy * gy)
     edge = mag > grad_threshold
+    if pixel_mask is not None:
+        edge = edge & (pixel_mask != 0)
 
     # gradient direction = line normal; θ in [0, π)
     theta = jnp.arctan2(gy, gx)
@@ -94,7 +100,8 @@ def hough_accumulator(img: Image2d, *, t_theta: int = 255,
     t1i = jnp.minimum(t0i + 1, t_theta - 1)
     r1i = jnp.minimum(r0i + 1, rho_bins - 1)
 
-    wgt = edge.astype(jnp.float32)
+    wgt = (mag if vote_weight == "magnitude" else 1.0) * \
+        edge.astype(jnp.float32)
     acc = jnp.zeros((t_theta, rho_bins), jnp.float32)
     acc = acc.at[t0i, r0i].add(wgt * (1 - ft) * (1 - fr))
     acc = acc.at[t0i, r1i].add(wgt * (1 - ft) * fr)
@@ -143,6 +150,94 @@ def hough_peaks(acc: jax.Array, m: int, *,
     _, ti, ri, v, _ = jax.lax.fori_loop(0, m, body, init)
     return HoughLines(theta_idx=ti, rho_idx=ri, votes=v,
                       valid=v > acc_threshold)
+
+
+def _local_maxima_mask(acc: jax.Array, nms_theta: int, nms_rho: int,
+                       threshold: float) -> jax.Array:
+    """(t_theta, rho_bins) bool: cell is >= everything in its
+    (2·nms_theta+1, 2·nms_rho+1) neighbourhood (θ wraps) and above
+    ``threshold`` — the dense form of the reference's suppress loop
+    (Kmeans body: the ±15 θ / ±12 ρ comparison sweep)."""
+    t_theta = acc.shape[0]
+    # θ wrap: pad circularly along θ, clamp-pad (with -inf) along ρ
+    a = jnp.concatenate([acc[-nms_theta:], acc, acc[:nms_theta]], axis=0)
+    a = jnp.pad(a, ((0, 0), (nms_rho, nms_rho)), constant_values=_NEG)
+    pooled = jax.lax.reduce_window(
+        a, _NEG, jax.lax.max,
+        window_dimensions=(2 * nms_theta + 1, 2 * nms_rho + 1),
+        window_strides=(1, 1), padding="valid")
+    return (acc >= pooled) & (acc > threshold)
+
+
+def hough_peaks_clustered(acc: jax.Array, k: int, *, nms_theta: int = 15,
+                          nms_rho: int = 12,
+                          threshold: float = 50.0) -> HoughLines:
+    """Accumulator clustering (the ``Hough_Lines_Parallel_Kmeans``
+    capability, dense_one_to_one_hough.hh:29-31): keep cells that dominate
+    their (±nms_theta, ±nms_rho) neighbourhood above ``threshold``, then
+    return the k strongest, votes descending. One max-pool + one top-k —
+    no greedy suppression loop."""
+    rho_bins = acc.shape[1]
+    keep = _local_maxima_mask(acc, nms_theta, nms_rho, threshold)
+    vals = jnp.where(keep, acc, 0.0)
+    v, flat = jax.lax.top_k(vals.reshape(-1), k)
+    return HoughLines(theta_idx=(flat // rho_bins).astype(jnp.int32),
+                      rho_idx=(flat % rho_bins).astype(jnp.int32),
+                      votes=v, valid=v > 0)
+
+
+def hough_sparse_revote(img: Image2d, theta: jax.Array, rho: jax.Array,
+                        valid: jax.Array, *, band: float = 4.0,
+                        t_theta: int = 255, rho_bins: int | None = None,
+                        grad_threshold: float = 40.0,
+                        vote_weight: str = "magnitude") -> jax.Array:
+    """Sparse re-vote along known lines (``Hough_Lines_Parallel_Sparse``
+    capability): only pixels within ``band`` px of one of the given
+    (θ, ρ) lines vote. The tracker uses this to refresh its accumulator
+    cheaply once lines are known — here "cheap" is a dense masked vote
+    (one fused pass; TPU has no sparse iteration to win from).
+
+    theta/rho: (M,) line parameters in image coords (accumulator_to_lines
+    convention); ``valid`` masks live lines.
+    """
+    h, w = img.shape
+    rr = jnp.arange(h, dtype=jnp.float32)[:, None, None]
+    cc = jnp.arange(w, dtype=jnp.float32)[None, :, None]
+    # distance of pixel (r, c) to each line: |c·cosθ + r·sinθ - ρ|
+    d = jnp.abs(cc * jnp.cos(theta)[None, None]
+                + rr * jnp.sin(theta)[None, None] - rho[None, None])
+    near = jnp.any((d <= band) & valid[None, None], axis=-1)   # (H, W)
+    return hough_accumulator(img, t_theta=t_theta, rho_bins=rho_bins,
+                             grad_threshold=grad_threshold,
+                             vote_weight=vote_weight, pixel_mask=near)
+
+
+def hough_adaptive_threshold(acc: jax.Array, *, target_lo: int = 50,
+                             target_hi: int = 100, th0: float = 50.0,
+                             max_calls: int = 5, nms_theta: int = 15,
+                             nms_rho: int = 12
+                             ) -> Tuple[jax.Array, jax.Array]:
+    """Adapt the clustering threshold until the local-maxima count falls
+    in [target_lo, target_hi] (``adap_thresold`` capability: up to
+    ``max_calls`` adjustments, threshold scaled by the call count). Returns
+    (threshold, count) as traced scalars — feed the threshold to
+    ``hough_peaks_clustered``."""
+
+    def count_at(th):
+        return jnp.sum(_local_maxima_mask(acc, nms_theta, nms_rho, th))
+
+    def body(i, carry):
+        th, done = carry
+        n = count_at(th)
+        in_band = (n >= target_lo) & (n <= target_hi)
+        call = jnp.float32(i + 1)
+        th_new = jnp.where(n > target_hi, th * (call + 1),
+                           jnp.where(n > 0, th / (call + 1), th))
+        return (jnp.where(done | in_band, th, th_new), done | in_band)
+
+    th, _ = jax.lax.fori_loop(0, max_calls, body,
+                              (jnp.float32(th0), jnp.bool_(False)))
+    return th, count_at(th)
 
 
 def hough_top_k(acc: jax.Array, k: int) -> HoughLines:

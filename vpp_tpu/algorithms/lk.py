@@ -118,6 +118,105 @@ def lk_match_batch(A: Image2d, B: Image2d, Ag: Image2d, p: jax.Array,
     return v - p, err
 
 
+def oriented_lk_match_batch(A: Image2d, B: Image2d, Ag: Image2d,
+                            p: jax.Array, tr_prediction: jax.Array, *,
+                            match_direction1: jax.Array,
+                            match_direction2: jax.Array,
+                            winsize: int, min_ev: float,
+                            niterations: int, convergence_delta: float,
+                            max_step_norm: float = 2.0
+                            ) -> Tuple[jax.Array, jax.Array]:
+    """Batched oriented_lk_match_point_square_win (reference
+    pyrlk/lk.hh:178-317): LK with the sampling window rotated into a
+    per-keypoint match direction and descent steps clamped to
+    ``max_step_norm``.
+
+    The template window is rotated by ``match_direction1`` (the window's
+    column axis; rows follow the perpendicular), the search window by
+    ``match_direction2`` — the reference uses this to track oriented
+    structures (lines) whose aperture direction differs between frames.
+    The gradient matrix G comes from the un-rotated window, exactly like
+    the reference (lk.hh:195-215). Directions: (N, 2) unit (row, col).
+
+    Returns (flow (N, 2), err (N,)); err = +inf for rejected keypoints.
+    Like ``lk_match_batch``, err divides by winsize² where the reference
+    divides by 2·winsize² (its reused ``cpt``), so thresholds are 2x.
+    """
+    offs = _window_offsets(winsize)           # (W2, 2) (dr, dc)
+    n = p.shape[0]
+    h, w = A.shape
+    ba, bb, bg = A.border, B.border, Ag.border
+
+    def rotate(dirs: jax.Array) -> jax.Array:
+        """(N, W2, 2) offsets r*my + c*mx with mx=dirs, my=perp(mx)."""
+        mx = dirs.astype(jnp.float32)
+        my = jnp.stack([-mx[:, 1], mx[:, 0]], axis=-1)
+        return (offs[None, :, 0, None] * my[:, None, :]
+                + offs[None, :, 1, None] * mx[:, None, :])
+
+    # G from the un-rotated window (lk.hh:195-215)
+    pts = p[:, None, :] + offs[None]
+    g = bilinear(Ag.data, pts + bg)
+    gr0, gc0 = g[..., 0], g[..., 1]
+    a11 = jnp.sum(gr0 * gr0, axis=1)
+    a12 = jnp.sum(gr0 * gc0, axis=1)
+    a22 = jnp.sum(gc0 * gc0, axis=1)
+    cnt = jnp.float32(offs.shape[0])
+    tr_g = (a11 + a22) / cnt
+    det_part = jnp.sqrt(jnp.maximum(
+        ((a11 - a22) / cnt) ** 2 + 4 * (a12 / cnt) ** 2, 0.0))
+    min_eig = 0.5 * (tr_g - det_part)
+    ok = min_eig >= min_ev
+
+    det = a11 * a22 - a12 * a12
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    i11 = a22 * inv_det
+    i12 = -a12 * inv_det
+    i22 = a11 * inv_det
+
+    # template samples + gradients at the direction1-rotated window
+    # (lk.hh:236-251)
+    r1 = rotate(match_direction1)
+    pts1 = p[:, None, :] + r1
+    as_ = bilinear(A.data, pts1 + ba)          # (N, W2)
+    g1 = bilinear(Ag.data, pts1 + bg)
+    gr, gc = g1[..., 0], g1[..., 1]
+
+    r2 = rotate(match_direction2)              # search window offsets
+
+    def body(_, carry):
+        v, active = carry
+        bs = bilinear(B.data, v[:, None, :] + r2 + bb)
+        dt = as_ - bs
+        bk1 = jnp.sum(gr * dt, axis=1)
+        bk2 = jnp.sum(gc * dt, axis=1)
+        nk1 = i11 * bk1 + i12 * bk2
+        nk2 = i12 * bk1 + i22 * bk2
+        nrm = jnp.sqrt(nk1 ** 2 + nk2 ** 2)
+        # step-norm clamp (lk.hh:280-284)
+        scale = jnp.where(nrm > max_step_norm,
+                          max_step_norm / jnp.maximum(nrm, 1e-12), 1.0)
+        step = jnp.stack([nk1 * scale, nk2 * scale], axis=-1)
+        v_new = jnp.where(active[:, None], v + step, v)
+        still = nrm >= convergence_delta
+        return v_new, active & still
+
+    v0 = p + tr_prediction
+    v, _ = jax.lax.fori_loop(0, niterations, body,
+                             (v0, ok & jnp.ones(n, bool)))
+
+    in_domain = ((v[:, 0] >= 0) & (v[:, 0] <= h - 1) &
+                 (v[:, 1] >= 0) & (v[:, 1] <= w - 1))
+
+    avg = jnp.mean(as_, axis=1, keepdims=True)
+    stddev = jnp.mean(jnp.abs(as_ - avg), axis=1)
+    bs = bilinear(B.data, v[:, None, :] + r2 + bb)
+    err = jnp.sum(jnp.abs(as_ - bs), axis=1) / (
+        cnt * jnp.maximum(stddev, 1e-6))
+    err = jnp.where(ok & in_domain, err, _BIG)
+    return v - p, err
+
+
 def gradient_pyramid(pyr: Pyramid) -> Pyramid:
     """Scharr on level 0, then filtered/subsampled down
     (lucas_kanade.hpp:151-157: scharr + propagate_level0)."""

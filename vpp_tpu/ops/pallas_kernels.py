@@ -45,81 +45,20 @@ def _window_matrices(g: int, extent: int, ws: int,
     return m
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "r0", "c0", "ws", "patch", "gh", "gw", "offsets"))
-def cost_volume_pallas(a1: jax.Array, a2w: jax.Array, *, r0: int, c0: int,
-                       ws: int, patch: int, gh: int, gw: int,
-                       offsets: Tuple[Tuple[int, int], ...]) -> jax.Array:
-    """(D², gh, gw) SAD volume, fused in VMEM.
-
-    cost[k, i, j] = sum over the ws x ws window with top-left
-    (r0 + i*patch + dr, c0 + j*patch + dc) of |a1 - a2w| sampled with
-    displacement offsets[k] = (dr, dc) applied to a2w. All displaced
-    slices must be in bounds: callers check r0+dr >= 0 and
-    r0+dr+ER <= a1.shape[0] (same for columns) and fall back to the XLA
-    path otherwise.
-    """
-    er = (gh - 1) * patch + ws
-    ec = (gw - 1) * patch + ws
-    p_mat = jnp.asarray(_window_matrices(gh, er, ws, patch))
-    q_mat = jnp.asarray(_window_matrices(gw, ec, ws, patch).T)
-    d2 = len(offsets)
-
-    def kernel(a1_ref, a2_ref, p_ref, q_ref, out_ref):
-        base = a1_ref[r0:r0 + er, c0:c0 + ec]
-        p = p_ref[:]
-        q = q_ref[:]
-        for k, (dr, dc) in enumerate(offsets):
-            sl = a2_ref[r0 + dr:r0 + dr + er, c0 + dc:c0 + dc + ec]
-            d = jnp.abs(base - sl)
-            rs = jnp.dot(p, d, preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
-            out_ref[k] = jnp.dot(rs, q, preferred_element_type=jnp.float32,
-                                 precision=jax.lax.Precision.HIGHEST)
-
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((d2, gh, gw), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        cost_estimate=pl.CostEstimate(
-            flops=int(2 * d2 * (gh * er * ec + gh * ec * gw)
-                      + 2 * d2 * er * ec),
-            bytes_accessed=(a1.size + a2w.size + d2 * gh * gw) * 4,
-            transcendentals=0),
-    )(a1.astype(jnp.float32), a2w.astype(jnp.float32), p_mat, q_mat)
-
-
-def cost_volume_fits(hb: int, wb: int, r0: int, c0: int, ws: int, patch: int,
-                     gh: int, gw: int, radius: int,
-                     vmem_budget: int = 13 * 2 ** 20) -> bool:
-    """True when every displaced slice is in bounds and the working set
-    (both images + volume + selection matrices) fits in VMEM."""
-    er = (gh - 1) * patch + ws
-    ec = (gw - 1) * patch + ws
-    if r0 - radius < 0 or c0 - radius < 0:
-        return False
-    if r0 + er + radius > hb or c0 + ec + radius > wb:
-        return False
-    d2 = (2 * radius + 1) ** 2
-    vmem = 4 * (2 * hb * wb + d2 * gh * gw + gh * er + ec * gw
-                + 3 * er * ec)
-    return vmem <= vmem_budget
-
-
 # ---------------------------------------------------------------------------
 # Fully fused flow level: warp + cost volume + argmin + Jacobi propagation.
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=(
     "r0", "c0", "ws", "patch", "gh", "gw", "radius", "offsets",
-    "pred_bound", "prop_iters", "h", "w"))
+    "pred_bound", "prop_iters", "h", "w", "use_bf16"))
 def flow_level_pallas(a1: jax.Array, a2: jax.Array, pred_r: jax.Array,
                       pred_c: jax.Array, digit_r: jax.Array,
                       digit_c: jax.Array, *, r0: int, c0: int, ws: int,
                       patch: int, gh: int, gw: int, radius: int,
                       offsets: Tuple[Tuple[int, int], ...], pred_bound: int,
-                      prop_iters: int, h: int, w: int
+                      prop_iters: int, h: int, w: int,
+                      use_bf16: bool = False
                       ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """One semi-dense-flow pyramid level fused in VMEM.
 
@@ -134,10 +73,14 @@ def flow_level_pallas(a1: jax.Array, a2: jax.Array, pred_r: jax.Array,
          out-of-domain predictions are rejected downstream);
       2. per displacement k: window SADs for every grid cell at once as
          P @ |a1 - shift(a2w, offsets[k])| @ Q with 0/1 window-selection
-         matrices — MXU work instead of strided slices. |diff| is cast to
-         bfloat16 (first matmul); the second, 9x smaller matmul stays f32.
-         SAD error <= ~0.5 per pixel: ~1e-3 relative, invisible to argmin
-         tie-breaks because exact ties (flat patches) stay exact in bf16;
+         matrices — MXU work instead of strided slices. Default f32: the
+         SAD is then bit-identical to the XLA path's reduce_window sums
+         for grayscale pyramids (values are multiples of 2^-8·level, so
+         f32 partial sums are exact regardless of association), which the
+         parity tests (tests/test_pallas_flow.py) pin down. With
+         ``use_bf16`` the |diff| tiles are cast to bfloat16 before the
+         first matmul (f32 accumulate; exact only for integer-valued
+         images) — an opt-in for MXU-bound geometries;
       3. ordered argmin (offsets come smallest-magnitude-first: strict <
          keeps the earliest = the descent's "move only if strictly
          better"), then in-domain rejection to the prediction;
@@ -146,12 +89,12 @@ def flow_level_pallas(a1: jax.Array, a2: jax.Array, pred_r: jax.Array,
 
     Returns (flow_r, flow_c) int32 (gh, gw) and dist f32 (gh, gw).
     """
+    sad_t = jnp.bfloat16 if use_bf16 else jnp.float32
     er = (gh - 1) * patch + ws
     ec = (gw - 1) * patch + ws
-    p_mat = jnp.asarray(_window_matrices(gh, er, ws, patch),
-                        jnp.bfloat16)
+    p_mat = jnp.asarray(_window_matrices(gh, er, ws, patch), sad_t)
     q_mat = jnp.asarray(_window_matrices(gw, ec, ws, patch).T,
-                        jnp.bfloat16)
+                        jnp.float32)
     d2 = len(offsets)
     dd = 2 * radius + 1
     # offsets[k] -> row-major flat id, for the propagation lookups
@@ -165,8 +108,6 @@ def flow_level_pallas(a1: jax.Array, a2: jax.Array, pred_r: jax.Array,
     def kernel(a1_ref, a2_ref, pr_ref, pc_ref, dr_ref, dc_ref,
                p_ref, q_ref, fr_ref, fc_ref, dist_ref, vol_ref, warp_ref):
         # -- 1. warp ------------------------------------------------------
-        # (bf16 from here on: |diff| error <= 0.5 greyvalue, SAD error
-        # ~0.15% — noise to the argmin; exact ties stay exact in bf16)
         if pred_bound > 0:
             src = a2_ref[:]
             out = src
@@ -181,12 +122,12 @@ def flow_level_pallas(a1: jax.Array, a2: jax.Array, pred_r: jax.Array,
                 if k == 0:
                     continue
                 out = jnp.where(dig == k, roll(src, -k, 1), out)
-            warp_ref[:] = out.astype(jnp.bfloat16)
+            warp_ref[:] = out.astype(sad_t)
         else:
-            warp_ref[:] = a2_ref[:].astype(jnp.bfloat16)
+            warp_ref[:] = a2_ref[:].astype(sad_t)
 
         # -- 2+3. cost volume + ordered argmin ----------------------------
-        base = a1_ref[r0:r0 + er, c0:c0 + ec].astype(jnp.bfloat16)
+        base = a1_ref[r0:r0 + er, c0:c0 + ec].astype(sad_t)
         p = p_ref[:]
         q = q_ref[:]
         best_d = jnp.full((gh, gw), inf, jnp.float32)
@@ -195,14 +136,19 @@ def flow_level_pallas(a1: jax.Array, a2: jax.Array, pred_r: jax.Array,
         for k, (dr, dc) in enumerate(offsets):
             sl = warp_ref[r0 + dr:r0 + dr + er, c0 + dc:c0 + dc + ec]
             d = jnp.abs(base - sl)
-            # explicit precision: a global jax_default_matmul_precision of
-            # 'highest' would ask Mosaic for fp32 contraction of bf16
-            # operands, which it rejects ("Bad lhs type")
+            # precision must be explicit per dtype: DEFAULT on f32 operands
+            # truncates them to bf16 on the MXU (breaking exactness), while
+            # HIGHEST on bf16 operands is rejected by Mosaic ("Bad lhs
+            # type") — so f32 gets HIGHEST, bf16 gets DEFAULT
+            prec = (jax.lax.Precision.DEFAULT if use_bf16
+                    else jax.lax.Precision.HIGHEST)
             rs = jnp.dot(p, d, preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.DEFAULT)
-            c = jnp.dot(rs.astype(jnp.bfloat16), q,
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.DEFAULT)
+                         precision=prec)
+            # rs stays f32 through the (9x smaller) second matmul: row sums
+            # reach ~ws*255 where bf16 ulp is 16, which would inject tens of
+            # grey-levels of SAD error — enough to flip non-tied argmins
+            c = jnp.dot(rs, q, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
             vol_ref[k] = c
             better = c < best_d
             best_d = jnp.where(better, c, best_d)
@@ -267,7 +213,7 @@ def flow_level_pallas(a1: jax.Array, a2: jax.Array, pred_r: jax.Array,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 3,
         scratch_shapes=[pltpu.VMEM((d2, gh, gw), jnp.float32),
-                        pltpu.VMEM((hb, wb), jnp.bfloat16)],
+                        pltpu.VMEM((hb, wb), sad_t)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2 ** 20),
         cost_estimate=pl.CostEstimate(

@@ -330,7 +330,13 @@ def _tracks_cost(p: BATracks, huber: float) -> jax.Array:
 def _tracks_assemble(p: BATracks, lam, huber: float):
     """Per-shard normal equations. Returns
     (pose-sized aggregates to psum: S (M,6,M,6), rhs (M,6), cost) and
-    (landmark-local: Hll_inv (N,3,3), bl (N,3), U (N,K,6,3), seen (N,))."""
+    (landmark-local: Hll_inv (N,3,3), bl (N,3), U (N,K,6,3), seen (N,)).
+
+    Pose damping is NOT added here: S is psum-reduced across devices in
+    the sharded path, so per-shard ``lam*I`` would be multiplied by the
+    axis size. ``_tracks_solve_poses`` adds it once, after the reduction.
+    (Landmark damping in Hll_d is safe: landmarks are sharded, each row
+    is assembled exactly once.)"""
     m = p.poses.shape[0]
     r, Jp, Jl = _track_jacobians(p)
     nrm = jnp.linalg.norm(r, axis=-1)
@@ -362,17 +368,18 @@ def _tracks_assemble(p: BATracks, lam, huber: float):
     p1 = jnp.broadcast_to(pose_idx[:, :, None], pair.shape[:3])
     p2 = jnp.broadcast_to(pose_idx[:, None, :], pair.shape[:3])
     S = jnp.zeros((m, m, 6, 6)).at[p1, p2].add(-pair)
-    S = S.at[jnp.arange(m), jnp.arange(m)].add(
-        Hpp + lam * jnp.eye(6)[None])
+    S = S.at[jnp.arange(m), jnp.arange(m)].add(Hpp)
     S = S.transpose(0, 2, 1, 3)                           # (M,6,M,6)
     rhs = bp - jnp.zeros((m, 6)).at[pose_idx].add(
         jnp.einsum("nkij,nj->nki", W, bl))
     return (S, rhs, cost), (Hll_inv, bl, U, pose_idx, seen)
 
 
-def _tracks_solve_poses(S, rhs, fixed_poses):
+def _tracks_solve_poses(S, rhs, fixed_poses, lam):
     m = rhs.shape[0]
     S = S.reshape(m * 6, m * 6)
+    # LM pose damping, added exactly once (after any psum reduction)
+    S = S + lam * jnp.eye(m * 6)
     fixed = jnp.repeat(fixed_poses, 6)
     S = jnp.where(fixed[:, None] | fixed[None, :], jnp.eye(m * 6), S)
     rhs = jnp.where(fixed, 0.0, rhs.reshape(-1))
@@ -406,7 +413,7 @@ def ba_solve_tracks(p: BATracks, *, iters: int = 10, huber: float = 4.0,
 
     def step_local(prob: BATracks, lam):
         (S, rhs, cost), local = _tracks_assemble(prob, lam, huber)
-        dp = _tracks_solve_poses(S, rhs, prob.fixed_poses)
+        dp = _tracks_solve_poses(S, rhs, prob.fixed_poses, lam)
         dl = _tracks_backsub(local, dp)
         return dp, dl, cost
 
@@ -425,7 +432,7 @@ def ba_solve_tracks(p: BATracks, *, iters: int = 10, huber: float = 4.0,
             S = jax.lax.psum(S, axis)
             rhs = jax.lax.psum(rhs, axis)
             cost = jax.lax.psum(cost, axis)
-            dp = _tracks_solve_poses(S, rhs, prob.fixed_poses)
+            dp = _tracks_solve_poses(S, rhs, prob.fixed_poses, lam)
             dl = _tracks_backsub(local, dp)
             return dp, dl, cost
 

@@ -71,6 +71,21 @@ class SlamConfig:
     pnp_iters: int = 6
     history: int = 64                  # keyframe trajectory capacity
     desc_patch: int = 7                # relocalization descriptor patch
+    # --- landmark archive + loop closure + recovery (pose graph) -------
+    archive_size: int = 1024           # retired-landmark ring capacity
+    lc_slots: int = 8                  # loop-closure edge ring capacity
+    lc_min_inliers: int = 12           # matches needed to accept a closure
+    lc_max_err: float = 1.5            # mean reproj gate for a closure (px)
+    lc_min_gap: int = 12               # frames: archive entries older than
+    #                                    this count as "revisited"
+    lc_search_radius: float = 8.0      # px claim radius around projection
+    lc_appearance_gate: float = 0.35   # SAD fraction of descriptor energy
+    rec_max_err: float = 6.0           # recovery-PnP acceptance (px) —
+    #                                    looser than the closure gate: a
+    #                                    lost tracker prefers a coarse fix
+    #                                    over none at all
+    pose_graph_iters: int = 8
+    min_tracked: int = 10              # live-landmark PnP starvation gate
     tracker: VideoExtruderConfig = dataclasses.field(
         default_factory=lambda: VideoExtruderConfig(
             capacity=512, detect_k=256, nscales=3, winsize=9,
@@ -91,6 +106,18 @@ class SlamState:
     n_keyframes: jax.Array  # () int32
     hist_pose: jax.Array    # (H, 4, 4) global keyframe trajectory
     hist_frame: jax.Array   # (H,) int32 frame id per keyframe (-1 empty)
+    # --- landmark archive (loop closure / recovery map) ----------------
+    arch_X: jax.Array       # (A, 3) archived landmark positions (world)
+    arch_desc: jax.Array    # (A, P*P) descriptor at archive time
+    arch_frame: jax.Array   # (A,) int32 frame id archived at (-1 empty)
+    arch_ptr: jax.Array     # () int32 ring write pointer
+    arch_of_slot: jax.Array  # (N,) int32 slot -> archive row (-1 none)
+    # --- pose-graph edges ----------------------------------------------
+    pg_T: jax.Array         # (H, 4, 4) odometry edge k-1 -> k (rel pose)
+    lc_j: jax.Array         # (L,) int32 loop-closure target keyframe
+    lc_T: jax.Array         # (L, 4, 4) measured absolute pose constraint
+    lc_w: jax.Array         # (L,) float32 edge weight (0 = empty)
+    lc_ptr: jax.Array       # () int32 ring write pointer
 
 
 def slam_init(cfg: SlamConfig,
@@ -116,7 +143,18 @@ def slam_init(cfg: SlamConfig,
         age_at_kf=jnp.zeros((n,), jnp.int32),
         n_keyframes=jnp.int32(0),
         hist_pose=jnp.broadcast_to(jnp.eye(4), (cfg.history, 4, 4)),
-        hist_frame=jnp.full((cfg.history,), -1, jnp.int32))
+        hist_frame=jnp.full((cfg.history,), -1, jnp.int32),
+        arch_X=jnp.zeros((cfg.archive_size, 3), jnp.float32),
+        arch_desc=jnp.zeros((cfg.archive_size, cfg.desc_patch ** 2),
+                            jnp.float32),
+        arch_frame=jnp.full((cfg.archive_size,), -1, jnp.int32),
+        arch_ptr=jnp.int32(0),
+        arch_of_slot=jnp.full((n,), -1, jnp.int32),
+        pg_T=jnp.broadcast_to(jnp.eye(4), (cfg.history, 4, 4)),
+        lc_j=jnp.zeros((cfg.lc_slots,), jnp.int32),
+        lc_T=jnp.broadcast_to(jnp.eye(4), (cfg.lc_slots, 4, 4)),
+        lc_w=jnp.zeros((cfg.lc_slots,), jnp.float32),
+        lc_ptr=jnp.int32(0))
 
 
 def pnp_gn(T0: jax.Array, X: jax.Array, uv: jax.Array, valid: jax.Array,
@@ -206,6 +244,66 @@ def _projection_matrix(T: jax.Array, intr: jax.Array) -> jax.Array:
     return K @ T[:3]
 
 
+def _archive_pnp(state: SlamState, frame2: Image2d, cfg: SlamConfig,
+                 T_prior: jax.Array, intr: jax.Array,
+                 min_frame_gap: int) -> Tuple[jax.Array, jax.Array,
+                                              jax.Array]:
+    """PnP of the current frame against the landmark ARCHIVE (retired
+    map): FAST detections claim archived landmarks by projection
+    proximity + appearance, then annealed-Huber GN PnP.
+
+    ``min_frame_gap``: archive entries at least this many frames old form
+    the *revisit* match set — the loop-closure measurement (fresh entries
+    share the current odometry drift and would just confirm it); all
+    entries form the *recovery* set.
+
+    Returns ((T_rec, err_rec, n_rec), (T_lc, err_lc, n_lc)): PnP against
+    the full set (tracking recovery) and against the revisit set (loop
+    closure). One FAST detection + one claim pass serves both."""
+    from ..algorithms.fast import fast9
+
+    pos, score, valid = fast9(frame2, cfg.tracker.detector_th,
+                              k=cfg.tracker.detect_k, blockwise=True,
+                              block_size=cfg.tracker.keypoint_spacing)
+    posf = pos.astype(jnp.float32)
+    cur_frame = state.tracker.frame_id
+
+    filled = state.arch_frame >= 0
+    old_enough = filled & (state.arch_frame <= cur_frame - min_frame_gap)
+    energy = jnp.maximum(jnp.sum(jnp.abs(state.arch_desc), axis=1), 1.0)
+
+    # --- claim + appearance gate ---------------------------------------
+    pred = project(T_prior[None], state.arch_X, intr)       # (A, 2)
+    d2 = jnp.sum((pred[:, None] - posf[None]) ** 2, axis=-1)
+    d2 = jnp.where(valid[None], d2, _HUGE)
+    claim = jnp.argmin(d2, axis=1)
+    near = jnp.min(d2, axis=1) <= cfg.lc_search_radius ** 2
+    uv = posf[claim]
+    best = jnp.full((state.arch_X.shape[0],), _HUGE)
+    for drr in (-1, 0, 1):
+        for dcc in (-1, 0, 1):
+            off = jnp.asarray([drr, dcc], jnp.int32)
+            patches = extract_patches(
+                frame2.data, pos[claim] + off[None] + frame2.border,
+                cfg.desc_patch)
+            q = patches.reshape(-1, cfg.desc_patch ** 2)
+            best = jnp.minimum(
+                best, jnp.sum(jnp.abs(q - state.arch_desc), axis=1))
+    ok = filled & near & (best < cfg.lc_appearance_gate * energy)
+    ok_old = ok & old_enough
+
+    def solve(mask):
+        T1, _ = pnp_gn(T_prior, state.arch_X, uv, mask, intr,
+                       iters=cfg.pnp_iters, huber=4 * cfg.ba_huber)
+        return pnp_gn(T1, state.arch_X, uv, mask, intr,
+                      iters=cfg.pnp_iters, huber=cfg.ba_huber / 2)
+
+    T_rec, err_rec = solve(ok)
+    T_lc, err_lc = solve(ok_old)
+    return ((T_rec, err_rec, jnp.sum(ok)),
+            (T_lc, err_lc, jnp.sum(ok_old)))
+
+
 def _do_keyframe(state: SlamState, frame2: Image2d, cfg: SlamConfig,
                  mesh=None, axis: str = "lm") -> SlamState:
     """Keyframe work: obs write -> PnP pose -> triangulate -> window BA."""
@@ -252,6 +350,18 @@ def _do_keyframe(state: SlamState, frame2: Image2d, cfg: SlamConfig,
     T_pnp, _ = pnp_gn(T_prior, state.lm_X, obs_pos,
                       lm_valid & kps.alive, intr,
                       iters=cfg.pnp_iters, huber=cfg.ba_huber)
+
+    # --- tracking-lost recovery + loop-closure measurement -------------
+    # one FAST pass against the landmark archive serves both: the full
+    # match set re-localises a starved tracker (blackout/occlusion), the
+    # old-entries-only set measures a revisit (loop closure)
+    (T_rec, err_rec, n_rec), (T_lc, err_lc, n_lc) = _archive_pnp(
+        state, frame2, cfg, T_prior, intr, cfg.lc_min_gap)
+    n_tracked = jnp.sum(lm_valid & kps.alive)
+    rec_ok = (n_rec >= cfg.lc_min_inliers) & (err_rec < cfg.rec_max_err)
+    lost = n_tracked < cfg.min_tracked
+    T_pnp = jnp.where(lost & rec_ok, T_rec, T_pnp)
+
     # bootstrap: keyframes 0 and 1 keep their preset (gauge/scale) poses
     T_new = jnp.where(kf < 2, state.kf_pose[col], T_pnp)
 
@@ -335,6 +445,29 @@ def _do_keyframe(state: SlamState, frame2: Image2d, cfg: SlamConfig,
     bad = (jnp.linalg.norm(res, axis=-1) > cfg.prune_reproj) & ba_obs_valid
     obs_valid = jnp.where(enough, obs_valid & ~bad, obs_valid)
 
+    # --- archive new landmarks (the loop-closure / recovery map) -------
+    # every freshly triangulated landmark is written once into the
+    # archive ring with its descriptor + frame id; unlike the live table
+    # its slot is never recycled by the tracker, so the camera can find
+    # it again after drift or blackout. Archived AFTER the window BA so
+    # the stored position is the refined one, not the raw DLT.
+    a_cap = state.arch_X.shape[0]
+    # refresh entries whose slot is still live (BA keeps improving them)
+    ref_idx = jnp.where(lm_valid & (state.arch_of_slot >= 0),
+                        state.arch_of_slot, a_cap)
+    arch_X = state.arch_X.at[ref_idx].set(lm_X, mode="drop")
+    # then append the freshly triangulated ones
+    a_off = jnp.cumsum(good.astype(jnp.int32)) - 1
+    a_idx = jnp.where(good, (state.arch_ptr + a_off) % a_cap, a_cap)
+    arch_X = arch_X.at[a_idx].set(lm_X, mode="drop")
+    arch_desc = state.arch_desc.at[a_idx].set(desc, mode="drop")
+    arch_frame = state.arch_frame.at[a_idx].set(
+        state.tracker.frame_id, mode="drop")
+    arch_ptr = (state.arch_ptr + jnp.sum(good)) % a_cap
+    arch_of_slot = jnp.where(
+        good, jnp.minimum(a_idx, a_cap - 1).astype(jnp.int32),
+        jnp.where(lm_valid, state.arch_of_slot, -1))
+
     # --- trajectory history -------------------------------------------
     # write the new keyframe + refresh every keyframe still in the ring
     # (BA just moved them); out-of-capacity ids drop
@@ -348,11 +481,69 @@ def _do_keyframe(state: SlamState, frame2: Image2d, cfg: SlamConfig,
     hist_pose = hist_pose.at[
         jnp.where(kf < hcap, kf, hcap)].set(kf_pose[col], mode="drop")
 
+    # --- pose-graph edges ----------------------------------------------
+    # odometry: BA-refined relative pose k-1 -> k, refreshed while both
+    # ends are in the ring (the write at eviction time is final)
+    oldest = kf - (r - 1)
+    pair_ok = (valid_cols & (kf_ids - 1 >= jnp.maximum(oldest, 0))
+               & (kf_ids >= 1) & (kf_ids < hcap))
+    prev_cols = (kf_ids - 1) % r
+    rel = jax.vmap(lambda a, b: se3_inverse(a) @ b)(
+        kf_pose[prev_cols], kf_pose[cols])
+    pg_T = state.pg_T.at[
+        jnp.where(pair_ok, kf_ids, hcap)].set(rel, mode="drop")
+
+    # loop closure: accept the revisit PnP as an absolute-pose edge when
+    # enough OLD archive entries agree (an edge from the gauge node 0)
+    lc_cap = state.lc_w.shape[0]
+    lc_good = ((kf >= 2) & (kf < hcap)
+               & (n_lc >= cfg.lc_min_inliers) & (err_lc < cfg.lc_max_err))
+    li = jnp.where(lc_good, state.lc_ptr % lc_cap, lc_cap)
+    lc_j = state.lc_j.at[li].set(kf, mode="drop")
+    lc_T = state.lc_T.at[li].set(T_lc, mode="drop")
+    # weight: a closure is one noisy absolute measurement against many
+    # accurate local odometry edges (w=1 each); saturating at a few
+    # odometry-equivalents keeps a noisy closure from yanking the chain
+    w_lc = jnp.minimum(n_lc.astype(jnp.float32) / 8.0, 4.0)
+    lc_w = state.lc_w.at[li].set(w_lc, mode="drop")
+    lc_ptr = state.lc_ptr + lc_good.astype(jnp.int32)
+
+    # --- pose-graph smoothing over the keyframe history ----------------
+    # The graph is a SMOOTHER on hist_pose: odometry chain + absolute
+    # revisit constraints, anchored at node 0. It does not feed back into
+    # the live window (the window keeps its internally-BA-consistent
+    # drifting frame; hist carries the globally-corrected trajectory) —
+    # the design the reference stubs at structure_from_motion.hh:55-56.
+    from .pose_graph import PoseGraph, pose_graph_solve
+
+    def solve_graph(hist):
+        k_ids2 = jnp.arange(hcap)
+        odo_valid = (k_ids2 >= 1) & (k_ids2 <= jnp.minimum(kf, hcap - 1))
+        n0 = hist[0]
+        lcz = jax.vmap(lambda t: se3_inverse(n0) @ t)(lc_T)
+        g = PoseGraph(
+            poses=hist,
+            edge_i=jnp.concatenate([jnp.maximum(k_ids2 - 1, 0),
+                                    jnp.zeros((lc_cap,), jnp.int32)]),
+            edge_j=jnp.concatenate([k_ids2, lc_j]),
+            edge_T=jnp.concatenate([pg_T, lcz]),
+            edge_w=jnp.concatenate([jnp.ones((hcap,)), lc_w]),
+            edge_valid=jnp.concatenate([odo_valid, lc_w > 0]),
+            fixed=(k_ids2 == 0) | (k_ids2 > jnp.minimum(kf, hcap - 1)))
+        solved, _ = pose_graph_solve(g, iters=cfg.pose_graph_iters)
+        return solved.poses
+
+    hist_pose = jax.lax.cond(jnp.any(lc_w > 0), solve_graph,
+                             lambda h: h, hist_pose)
+
     return state.replace(
         kf_pose=kf_pose, kf_valid=kf_valid, obs_uv=obs_uv,
         obs_valid=obs_valid, lm_X=lm_X, lm_valid=lm_valid,
         lm_desc=lm_desc, age_at_kf=kps.age,
-        n_keyframes=kf + 1, hist_pose=hist_pose, hist_frame=hist_frame)
+        n_keyframes=kf + 1, hist_pose=hist_pose, hist_frame=hist_frame,
+        arch_X=arch_X, arch_desc=arch_desc, arch_frame=arch_frame,
+        arch_ptr=arch_ptr, arch_of_slot=arch_of_slot, pg_T=pg_T,
+        lc_j=lc_j, lc_T=lc_T, lc_w=lc_w, lc_ptr=lc_ptr)
 
 
 def slam_step(state: SlamState, frame1: Image2d, frame2: Image2d,
@@ -460,8 +651,22 @@ def relocalize(state: SlamState, frame: Image2d, cfg: SlamConfig,
 
 
 def keyframe_trajectory(state: SlamState) -> Tuple[jax.Array, jax.Array]:
-    """(n_kf, 4, 4) optimized keyframe poses + their frame ids (host use)."""
-    n = int(state.n_keyframes)
+    """(n, 4, 4) optimized keyframe poses + their frame ids (host use).
+
+    ``n = min(n_keyframes, SlamConfig.history)``: the history buffer has
+    static capacity, keyframes beyond it are not retained. A run that
+    overflows gets a loud warning rather than a silently short (and
+    misaligned) trajectory."""
+    n_kf = int(state.n_keyframes)
+    cap = state.hist_pose.shape[0]
+    if n_kf > cap:
+        import warnings
+        warnings.warn(
+            f"keyframe_trajectory: {n_kf} keyframes exceed the history "
+            f"capacity {cap}; returning the first {cap} (raise "
+            "SlamConfig.history to keep the full trajectory)",
+            stacklevel=2)
+    n = min(n_kf, cap)
     return state.hist_pose[:n], state.hist_frame[:n]
 
 
