@@ -64,10 +64,12 @@ def tpu_tracker_fps():
     return nframes / dt, nlive
 
 
-def cpu_baseline_fps():
+def cpu_baseline_fps(runs: int = 3):
+    """Median of several native-baseline runs: the denominator must be
+    stable across rounds for vs_baseline to be trackable."""
     from vpp_tpu.utils.native import cpu_tracker_fps
-    fps = cpu_tracker_fps(W, H, FRAMES)
-    return fps
+    vals = sorted(cpu_tracker_fps(W, H, FRAMES) for _ in range(runs))
+    return vals[len(vals) // 2]
 
 
 def main():
@@ -78,6 +80,8 @@ def main():
         "metric": f"video_extruder tracker fps ({W}x{H}, {nlive} live kps)",
         "value": round(tpu_fps, 2),
         "unit": "frames/s/chip",
+        "tpu_fps": round(tpu_fps, 2),
+        "cpu_fps": round(cpu_fps, 2),
         "vs_baseline": round(vs, 3) if vs else None,
     }))
 

@@ -5,9 +5,17 @@ image add (image_add.cc), 5x5 box filter (box_5x5_filter.cc), FAST9
 Hough transform and semi-dense flow.
 
 Each benchmark runs N iterations inside one ``lax.scan`` so TPU dispatch
-overhead amortises; reported ms/iter is device compute. A tiny dependency
-is threaded through the carry to defeat dead-code elimination. Prints one
-JSON line per benchmark; run:  python benchmarks/micro.py [--iters N]
+overhead amortises (the axon tunnel adds ~25 ms per DISPATCH — use
+--iters >= 100 on the chip for per-iter numbers within ~10%); reported
+ms/iter is device compute. A tiny dependency is threaded through the
+carry to defeat dead-code elimination.
+
+Roofline accounting: benchmarks with a known minimal HBM traffic model
+report GB/s and % of the chip's HBM peak (v5e: 819 GB/s), so each
+kernel's distance to speed-of-light is a number, not a feeling.
+
+Prints one JSON line per benchmark; run:
+    python benchmarks/micro.py [--iters N]
 """
 
 import argparse
@@ -20,8 +28,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import numpy as np
 
+HBM_PEAK_GBPS = 819.0        # TPU v5e
 
-def bench(name, make_step, carry0, iters, unit="ms/iter", extra=None):
+
+def bench(name, make_step, carry0, iters, unit="ms/iter", extra=None,
+          bytes_model=None):
+    """``bytes_model``: minimal HBM bytes one iteration must move (reads
+    + writes of the algorithm's inputs/outputs, ignoring fusible
+    intermediates). Reported as achieved GB/s + % of HBM peak."""
     import jax
 
     def scan_fn(c):
@@ -34,6 +48,10 @@ def bench(name, make_step, carry0, iters, unit="ms/iter", extra=None):
     out = jax.block_until_ready(jf(carry0))
     dt = (time.perf_counter() - t0) / iters * 1e3
     rec = {"bench": name, "value": round(dt, 4), "unit": unit}
+    if bytes_model:
+        gbps = bytes_model / (dt * 1e-3) / 1e9
+        rec["gbps"] = round(gbps, 1)
+        rec["pct_hbm_peak"] = round(100 * gbps / HBM_PEAK_GBPS, 1)
     if extra:
         rec.update(extra)
     print(json.dumps(rec))
@@ -64,11 +82,8 @@ def main():
     px = h * w
 
     # image add: A = A + B (image_add.cc) — pure HBM bandwidth
-    dt = bench("image_add", lambda c: c + b0, a0, n,
-               extra={"size": f"{w}x{h}"})
-    gbps = 3 * px * 4 / (dt * 1e-3) / 1e9
-    print(json.dumps({"bench": "image_add_bandwidth",
-                      "value": round(gbps, 1), "unit": "GB/s"}))
+    bench("image_add", lambda c: c + b0, a0, n,
+          extra={"size": f"{w}x{h}"}, bytes_model=3 * px * 4)
 
     # 5x5 box filter (box_5x5_filter.cc) via separable shifted adds
     img = from_array(a0, border=2, border_mode="mirror")
@@ -80,13 +95,15 @@ def main():
         s2 = sum(t.shifted(dr, 0) for dr in range(-2, 3))
         return from_array(s2 / 5.0, border=2, border_mode="mirror").data
 
-    bench("box_filter_5x5", box5, img.data, n, extra={"size": f"{w}x{h}"})
+    bench("box_filter_5x5", box5, img.data, n, extra={"size": f"{w}x{h}"},
+          bytes_model=4 * px * 4)      # read + tmp write/read + write
 
     # FAST9 score + detection (fast_detector.cc)
     imgf = from_array(a0, border=3, border_mode="mirror")
     bench("fast9_score", lambda c: c + 1e-9 * fast9_score(
         Image2d(data=c, border=3), 10).astype(jnp.float32).sum(),
-        imgf.data, n, extra={"size": f"{w}x{h}"})
+        imgf.data, n, extra={"size": f"{w}x{h}"},
+        bytes_model=2 * px * 4)        # read frame + write score map
 
     # LBP transform (lbp.cc)
     bench("lbp_transform", lambda c: c + 1e-9 * lbp_transform(
@@ -97,7 +114,8 @@ def main():
     img9 = from_array(a0, border=9, border_mode="mirror")
     bench("pyramid_3_levels", lambda c: c + 1e-9 * pyramid(
         Image2d(data=c, border=9), 3, border=9)[2].data.sum(),
-        img9.data, n)
+        img9.data, n,
+        bytes_model=int(px * 4 * (1 + 1 + 0.25 + 0.25 + 0.0625)))
 
     # Scharr gradient (scharr.hh)
     bench("scharr", lambda c: c + 1e-9 * scharr(
@@ -133,7 +151,25 @@ def main():
             pos, ok, i1, Image2d(data=c, border=9), winsize=9, nscales=3)
         return c + 1e-9 * mp.sum()
 
-    bench("semi_dense_flow_vga_2048kp", flow_step, i2d, n)
+    # bytes: 2 pyramids in + per level the (D², lr, lc) diff stack
+    # round-trip (the dominant term at refine_radius=2: D²=25)
+    flow_bytes = int(4 * (2 * 1.33 * hv * wv
+                          + 2 * 25 * hv * wv * (1 + 0.25 + 0.0625)))
+    bench("semi_dense_flow_vga_2048kp", flow_step, i2d, n,
+          bytes_model=flow_bytes)
+
+    # pyramidal LK flow field (pyrlk_opencv_comparison.cc:60-80): 1024
+    # keypoints through the 3-level LK with Scharr gradients
+    from vpp_tpu.algorithms import lucas_kanade
+    kp = jnp.asarray(rng.rand(1024, 2) * [hv - 20, wv - 20] + 10,
+                     jnp.float32)
+
+    def pyrlk_step(c):
+        fl, dist = lucas_kanade(i1, Image2d(data=c, border=9), kp,
+                                winsize=11, nscales=3)
+        return c + 1e-9 * fl.sum()
+
+    bench("pyrlk_1024kp_vga", pyrlk_step, i2d, n)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,140 @@
+"""Tracker + SLAM engine on the reference's accuracy yardstick.
+
+The reference's KITTI harness (evaluation/semi_dense_optical_flow/KITTI.cc)
+measures flow endpoint error (mean EPE, % of errors > 3 px) and runtime;
+BASELINE demands ATE within the tracker's bound measured with that
+methodology. This harness runs the FULL engine (video-extruder tracker ->
+keyframes -> triangulation -> window BA -> pose graph) over KITTI-style
+synthetic sequences (3-D blob clouds with exact ground-truth poses and
+per-keypoint ground-truth flow) and reports, per sequence:
+
+* tracker flow outlier rate: a tracked keypoint's frame-to-frame motion
+  vs the ground-truth motion of its underlying 3-D point (> 3 px = Fl
+  outlier, the KITTI criterion);
+* mean tracker EPE;
+* SLAM ATE (camera-centre RMSE over keyframes, gauge pinned by the
+  bootstrap poses);
+* live keypoints / landmarks.
+
+Run:  python evaluation/slam_eval.py [--save results_slam_eval.json]
+One JSON line per sequence + a summary line.
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+H, W = 144, 192
+INTR = (192.0, 192.0, 96.0, 72.0)
+
+
+def _sequences():
+    from vpp_tpu.utils.synth import camera_path, make_cloud, render_frames
+    # seq 1: lateral dolly (KITTI-style sideways parallax)
+    pts = make_cloud(300, seed=0, extent=(7.0, 5.0, 3.5),
+                     center=(0.8, 0.0, 5.0))
+    poses = camera_path(28, step=(0.05, 0.0, 0.0))
+    frames = render_frames(pts, poses, INTR, (H, W), seed=0,
+                           sigma=(1.0, 1.8))
+    yield "dolly_x", pts, poses, frames
+    # seq 2: forward motion + slow yaw (the harder KITTI regime)
+    pts = make_cloud(300, seed=5, extent=(8.0, 5.0, 5.0),
+                     center=(0.0, 0.0, 7.0))
+    poses = camera_path(28, step=(0.01, 0.0, 0.06), yaw_per_frame=0.004)
+    frames = render_frames(pts, poses, INTR, (H, W), seed=5,
+                           sigma=(1.0, 1.8))
+    yield "forward_yaw", pts, poses, frames
+
+
+def evaluate_sequence(name, pts, poses_gt, frames, tau=3.0):
+    import jax
+    import jax.numpy as jnp
+    from vpp_tpu.algorithms.video_extruder import VideoExtruderConfig
+    from vpp_tpu.slam import project
+    from vpp_tpu.slam.pipeline import (SlamConfig, ate_rmse,
+                                       keyframe_trajectory, slam_run)
+
+    cfg = SlamConfig(
+        intrinsics=INTR, keyframe_period=4, ring=6, ba_iters=3,
+        min_parallax=2.0, max_reproj=2.0, history=16,
+        tracker=VideoExtruderConfig(capacity=384, detect_k=192, nscales=3,
+                                    winsize=9, keypoint_spacing=8,
+                                    detector_period=1, detector_th=8))
+    boot = jnp.asarray(poses_gt[[0, cfg.keyframe_period]])
+    run = jax.jit(lambda f: slam_run(f, cfg, bootstrap_poses=boot,
+                                     collect_tracks=True))
+    t0 = time.perf_counter()
+    state, track_hist = jax.block_until_ready(run(jnp.asarray(frames)))
+    wall = time.perf_counter() - t0
+
+    # --- flow EPE vs ground truth -------------------------------------
+    # each live keypoint is bound to its nearest projected true point at
+    # frame t; its t -> t+1 motion is compared with that point's
+    # ground-truth image motion (KITTI.cc EPE over tracked points)
+    intrj = jnp.asarray(INTR, jnp.float32)
+    proj = np.stack([np.asarray(project(jnp.asarray(T)[None],
+                                        jnp.asarray(pts), intrj))
+                     for T in poses_gt])                     # (T, P, 2)
+    pos_h = np.asarray(track_hist[0])                        # (T, K, 2)
+    alive_h = np.asarray(track_hist[1])                      # (T, K)
+    errs = []
+    for t in range(len(frames) - 1):
+        live = alive_h[t] & alive_h[t + 1]
+        if live.sum() == 0:
+            continue
+        p_t = pos_h[t][live]
+        p_n = pos_h[t + 1][live]
+        d2 = ((p_t[:, None] - proj[t][None]) ** 2).sum(-1)
+        nearest = d2.argmin(1)
+        close = d2[np.arange(len(nearest)), nearest] <= 2.5 ** 2
+        gt_flow = proj[t + 1][nearest] - proj[t][nearest]
+        epe = np.linalg.norm((p_n - p_t) - gt_flow, axis=1)[close]
+        errs.append(epe)
+    epe = np.concatenate(errs) if errs else np.zeros(0)
+
+    est, fids = keyframe_trajectory(state)
+    gt = jnp.asarray(poses_gt[np.asarray(fids)])
+    ate = float(ate_rmse(est, gt))
+
+    return {
+        "seq": name,
+        "aepe": round(float(epe.mean()), 3) if epe.size else None,
+        "fl_pct": round(float((epe > tau).mean() * 100), 2)
+        if epe.size else None,
+        "n_flow": int(epe.size),
+        "ate": round(ate, 4),
+        "n_keyframes": int(est.shape[0]),
+        "landmarks": int(np.asarray(state.lm_valid).sum()),
+        "wall_s": round(wall, 1),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--save", default=None)
+    args = ap.parse_args()
+    out = []
+    for name, pts, poses, frames in _sequences():
+        s = evaluate_sequence(name, pts, poses, frames)
+        print(json.dumps(s))
+        out.append(s)
+    summary = {
+        "summary": True,
+        "aepe": round(float(np.mean([s["aepe"] for s in out])), 3),
+        "fl_pct": round(float(np.mean([s["fl_pct"] for s in out])), 2),
+        "ate": round(float(np.mean([s["ate"] for s in out])), 4),
+    }
+    print(json.dumps(summary))
+    if args.save:
+        json.dump({"sequences": out, "summary": summary},
+                  open(args.save, "w"), indent=1)
+
+
+if __name__ == "__main__":
+    main()

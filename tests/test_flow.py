@@ -166,3 +166,25 @@ def test_epipolar_filter_kills_off_line_matches():
     _, _, ok_across = semi_dense_optical_flow(
         pts, valid, i1, _frame(tex, 3, 0), **kw)
     assert np.asarray(ok_across).mean() < 0.2
+
+
+def test_refine_radius_matches_full_on_translation():
+    """The default +-2 fine-level refinement finds the same matches as
+    the full-radius search on a clean translation (and is the better
+    tracker in aggregate — see _level_radii)."""
+    tex = _texture()
+    i1 = _frame(tex, 0, 0)
+    i2 = _frame(tex, 3, -2)
+    rng = np.random.RandomState(2)
+    pts = np.stack([rng.randint(20, 76, 60),
+                    rng.randint(20, 108, 60)], axis=-1).astype(np.float32)
+    pts = jnp.asarray(pts)
+    val = jnp.ones((60,), bool)
+    kw = dict(winsize=7, nscales=3, propagation=2, patchsize=5)
+    m_r, _, ok_r = semi_dense_optical_flow(pts, val, i1, i2,
+                                           refine_radius=2, **kw)
+    m_f, _, ok_f = semi_dense_optical_flow(pts, val, i1, i2,
+                                           refine_radius=None, **kw)
+    assert np.asarray(ok_r).all() and np.asarray(ok_f).all()
+    agree = (np.asarray(m_r) == np.asarray(m_f)).all(axis=1).mean()
+    assert agree > 0.85, agree

@@ -237,11 +237,20 @@ def _flow_level_xla(a1: jax.Array, a2: jax.Array, pred: jax.Array,
                     b: int, h: int, w: int, ws: int, patch: int,
                     gh: int, gw: int, R: int, offsets: list,
                     disp: np.ndarray, pred_bound: int,
-                    prop_iters: int) -> Tuple[jax.Array, jax.Array]:
+                    prop_iters: int, col0: int = 0,
+                    w_total: Optional[int] = None
+                    ) -> Tuple[jax.Array, jax.Array]:
     """One level through the XLA formulation: warp + cost volume + ordered
     argmin + in-domain rejection + Jacobi propagation. Same semantics as
     ``_flow_level_fused`` (the Pallas kernel); parity is pinned by
-    tests/test_pallas_flow.py."""
+    tests/test_pallas_flow.py.
+
+    ``col0``/``w_total``: when ``a1`` is a column slice of a wider image
+    (the sharded front-end), the in-domain rejection must test against the
+    GLOBAL column extent: local column c is global ``col0 + c`` of a
+    ``w_total``-wide domain. Defaults reproduce the unsharded behaviour."""
+    if w_total is None:
+        w_total = w
     if pred_bound == 0:
         a2w = a2                                   # pred == 0
     else:
@@ -257,11 +266,11 @@ def _flow_level_xla(a1: jax.Array, a2: jax.Array, pred: jax.Array,
     # INT_MAX (hpp:102-108): centre pixel of the matched window must
     # stay inside the level domain
     ctr_r = (jnp.arange(gh)[:, None] * patch + patch // 2)
-    ctr_c = (jnp.arange(gw)[None, :] * patch + patch // 2)
+    ctr_c = (jnp.arange(gw)[None, :] * patch + patch // 2) + col0
     tgt_r = ctr_r + flow[..., 0]
     tgt_c = ctr_c + flow[..., 1]
     in_dom = ((tgt_r >= 0) & (tgt_r <= h - 1) &
-              (tgt_c >= 0) & (tgt_c <= w - 1))
+              (tgt_c >= 0) & (tgt_c <= w_total - 1))
     flow = jnp.where(in_dom[..., None], flow, pred)
     dist = jnp.where(in_dom, dist, _INF)
 
@@ -295,6 +304,26 @@ def _flat_index_map(R: int) -> jax.Array:
         _FLAT_CACHE[R] = np.array(
             [(dr + R) * dd + (dc + R) for dr, dc in offsets], np.int32)
     return _FLAT_CACHE[R]
+
+
+def _level_radii(nscales: int, R_top: int, refine: int) -> list:
+    """Per-level search radius: the TOP level searches the full +-R_top
+    window; every finer level only refines by +-``refine`` around the
+    upsampled prediction. The top level is tiny, so the expensive dense
+    window lives where it is cheap; the fine levels' small radius both
+    cuts the dominant (D², lr, lc) |diff| stack ~5x AND reduces aliasing
+    (fewer wrong minima to grab — measured: Fl 2.2% -> 1.8% on the
+    flow_eval synthetic pairs at refine=2)."""
+    return [refine if s < nscales - 1 else R_top for s in range(nscales)]
+
+
+def _level_bounds(nscales: int, radii: list) -> list:
+    """Per-level total-flow envelope |flow_s| (used to clip the warp)."""
+    bounds = [0] * nscales
+    bounds[nscales - 1] = radii[nscales - 1]
+    for s in range(nscales - 2, -1, -1):
+        bounds[s] = 2 * bounds[s + 1] + radii[s]
+    return bounds
 
 
 def _epipolar_search(a2: jax.Array, p_int: jax.Array, patches1: jax.Array,
@@ -344,6 +373,7 @@ def semi_dense_optical_flow(
         epipolar_filter: Optional[float] = None,
         pyr1: Optional[Pyramid] = None, pyr2: Optional[Pyramid] = None,
         use_pallas: Optional[bool] = None,
+        refine_radius: Optional[int] = 2,
         ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Track (K, 2) float keypoint ``positions`` from i1 to i2.
 
@@ -360,14 +390,24 @@ def semi_dense_optical_flow(
     with default threshold 2 but never applies it —
     semi_dense_optical_flow.hpp:65-66; here it works).
 
-    ``use_pallas``: None = auto (fused VMEM kernel on TPU when the level
-    fits, XLA everywhere else); True/False force it. The two paths compute
-    identical quantities (bit-level for grayscale pyramids — the kernel's
-    f32 SAD matches the XLA reduce_window exactly; see
+    ``refine_radius``: dense search radius at the NON-top levels (the top
+    level always searches +-R = max(1, search_niters)). The default 2
+    refines +-2 around the upsampled prediction — ~5x less HBM traffic
+    than a full-radius window at every level and *more* accurate (less
+    fine-scale aliasing; see _level_radii). ``None`` searches the full
+    radius at every level (the round-2 behaviour).
+
+    ``use_pallas``: None = auto (currently OFF: measured on the chip with
+    per-frame-varying inputs, the fused kernel costs ~1.6 ms/frame MORE
+    than the XLA path at VGA — its full-image digit maps and pre-padded
+    operands must materialise in HBM and block XLA's fusion; earlier
+    measurements that favoured it were polluted by loop-invariant
+    hoisting of constant test pyramids). True forces the kernel (it
+    computes identical quantities, bit-level for grayscale pyramids —
     tests/test_pallas_flow.py).
     """
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = False
     h0, w0 = i1.shape
     border = max(3, winsize)
     if pyr1 is None:
@@ -382,10 +422,14 @@ def semi_dense_optical_flow(
     levels: List[Optional[_Level]] = [None] * nscales
 
     b = pyr1[0].border
-    # search radius = the descent's maximum travel (_cost_volume edge-pads
-    # the buffers, so R is not limited by the border width)
-    R = max(1, search_niters)
-    disp, offsets = _displacement_table(R)
+    # top-level search radius = the descent's maximum travel
+    # (_cost_volume edge-pads the buffers, so R is not limited by the
+    # border width); finer levels refine by +-refine_radius only
+    R_top = max(1, search_niters)
+    radii = _level_radii(nscales, R_top,
+                         R_top if refine_radius is None
+                         else max(1, min(refine_radius, R_top)))
+    bounds = _level_bounds(nscales, radii)
 
     epi = None
     if epipolar_flow and fundamental_matrix is not None:
@@ -410,16 +454,21 @@ def semi_dense_optical_flow(
         scale_div = float(2 ** s)
 
         # occupancy mark: cells holding >=1 live keypoint (the reference
-        # computes only those; we compute all cells and keep the mark for
-        # the readout semantics)
+        # computes only those; we compute all cells). Only the readout
+        # level's mark is ever consumed — 4096-update scatters cost real
+        # time on TPU, so skip the others (the epipolar branch still
+        # needs per-level cells for its representative picks).
         pos_s = jnp.floor(positions / scale_div).astype(jnp.int32)
         pos_s = jnp.clip(pos_s, 0, jnp.array([h - 1, w - 1]))
         cell = jnp.clip(pos_s // patchsize, 0, jnp.array([gh - 1, gw - 1]))
         cell_flat = cell[:, 0] * gw + cell[:, 1]
-        occ = jnp.zeros((gh * gw,), bool).at[
-            jnp.where(valid, cell_flat, gh * gw)].max(
-            jnp.ones_like(valid), mode="drop")
-        mark = occ.reshape(gh, gw)
+        if s == min_scale or epi is not None:
+            occ = jnp.zeros((gh * gw,), bool).at[
+                jnp.where(valid, cell_flat, gh * gw)].max(
+                jnp.ones_like(valid), mode="drop")
+            mark = occ.reshape(gh, gw)
+        else:
+            mark = jnp.zeros((gh, gw), bool)
 
         # multiscale prediction (hpp:127-128): upsampled coarse flow ×2
         if s < nscales - 1 and levels[s + 1] is not None:
@@ -451,10 +500,11 @@ def semi_dense_optical_flow(
             levels[s] = _Level(flow=flow, dist=dist, mark=mark)
             continue
 
-        # -- dense cost-volume matching ---------------------------------
-        # per-level flow envelope: |flow_s| <= R * (2^(nscales-s) - 1)
-        pred_bound = (0 if s == nscales - 1 else
-                      2 * R * (2 ** (nscales - 1 - s) - 1))
+        # -- cost-volume matching ---------------------------------------
+        R = radii[s]
+        disp, offsets = _displacement_table(R)
+        # per-level flow envelope: the warp clip for the upsampled pred
+        pred_bound = 0 if s == nscales - 1 else 2 * bounds[s + 1]
         if use_pallas and _fused_level_ok(a1.shape[0], a1.shape[1], b,
                                           winsize, patchsize, gh, gw, R):
             flow, dist = _flow_level_fused(

@@ -1,0 +1,226 @@
+"""Production-shaped column-sharded tracker front-end.
+
+The frame's columns shard over a mesh axis; every device computes the
+FULL tracker pipeline (pyramids -> FAST -> semi-dense flow -> lifecycle)
+for the columns it owns, reading a static image halo exchanged once per
+frame over ICI (``ppermute``). Keypoint state is replicated (a few MB at
+production capacity) and combined with owner-exclusive ``psum``s — each
+keypoint's cell has exactly one owner, so the sum IS a select. No
+dynamic migration, no load-balancer: pure SPMD.
+
+Exactness: for keypoints away from the right image margin the sharded
+flow is *bit-identical* to ``semi_dense_optical_flow`` — the halo is
+sized so every owned cell's cost volume, ordered argmin and Jacobi
+propagation see exactly the data the global computation sees (alignment
+of pyramid decimation and patch grids across shard origins is arranged
+by the divisibility requirements below). Two documented deviations:
+
+* the global grid chain's ``1 + g//2`` column overhang cell at the right
+  image edge (a border-sampling artifact of the reference's level
+  geometry, pyramid.hh:136-158) is not reproduced — its influence
+  radiates ~2 cells per propagation sweep from the right margin;
+* the cost-volume warp's roll-wrap junk (flow.py:_warp_by_cell_flow)
+  wraps over the local slice instead of the full image — it only ever
+  feeds cells that are rejected or whose neighbours carry out-of-domain
+  predictions, like the global path's own wrap.
+
+Requirements: W divisible by n_devices; the shard width divisible by
+``patch * 2^(nscales-1)`` and by ``keypoint_spacing``.
+
+No reference counterpart (vpp is single-process shared-memory); this is
+the BASELINE north-star front-end sharding.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..algorithms import flow as F
+from ..algorithms.pyramid import _binomial_decimate, level_shapes
+from ..core.image import Image2d
+
+
+def flow_halo(winsize: int, nscales: int, patchsize: int,
+              propagation: int, search_niters: int) -> int:
+    """Static column halo (px, level 0) that makes every owned cell's
+    flow computation exact: covers the worst-case sample reach
+    (multiscale prediction + search window) plus the propagation travel
+    and a safety margin, rounded up to the alignment unit
+    ``patch * 2^(nscales-1)`` (which also keeps pyramid decimation and
+    patch grids aligned across shard origins). Sized for the full-radius
+    envelope (refine_radius <= search_niters only shrinks the reach)."""
+    R = max(1, search_niters)
+    unit = patchsize * 2 ** (nscales - 1)
+    need = (R * (2 ** nscales - 1) + winsize + propagation * patchsize + 8)
+    return unit * -(-need // unit)
+
+
+def _halo_exchange_open(local: jax.Array, halo: int, axis: str,
+                        fill_left, fill_right) -> jax.Array:
+    """Ring-exchange ``halo`` columns; the outermost shards replace the
+    wrapped-around data with ``fill_*`` (open boundary)."""
+    n = jax.lax.axis_size(axis)
+    idx = jax.lax.axis_index(axis)
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+    bwd = [(i, (i - 1) % n) for i in range(n)]
+    from_left = jax.lax.ppermute(local[:, -halo:], axis, fwd)
+    from_right = jax.lax.ppermute(local[:, :halo], axis, bwd)
+    from_left = jnp.where(idx == 0, fill_left, from_left)
+    from_right = jnp.where(idx == n - 1, fill_right, from_right)
+    return jnp.concatenate([from_left, local, from_right], axis=1)
+
+
+def _edge_fill(local: jax.Array, halo: int, border: int, left: bool
+               ) -> jax.Array:
+    """What the global computation holds beyond the image edge: ``border``
+    mirrored columns, then edge-replication (the global buffer is
+    mirror-padded by ``border`` and _cost_volume edge-pads past that)."""
+    if left:
+        mir = local[:, :border][:, ::-1]             # cols -border..-1
+        edge = jnp.repeat(mir[:, :1], halo - border, axis=1)
+        return jnp.concatenate([edge, mir], axis=1)
+    mir = local[:, -border:][:, ::-1]
+    edge = jnp.repeat(mir[:, -1:], halo - border, axis=1)
+    return jnp.concatenate([mir, edge], axis=1)
+
+
+def _ext_pyramid(ext: jax.Array, nscales: int, border: int,
+                 row_shapes) -> Tuple[Image2d, ...]:
+    """Pyramid of the halo-extended slice: rows follow the GLOBAL level
+    chain (they are unsharded, including the ``1+h//2`` overhang row);
+    columns halve exactly (the slice is interior data, no overhang)."""
+    pad = [(border, border), (border, border)]
+    levels = [Image2d(data=jnp.pad(ext, pad, mode="symmetric"),
+                      border=border)]
+    cur = ext
+    for s in range(1, nscales):
+        oh = row_shapes[s][0]
+        ow = cur.shape[1] // 2
+        cur = _binomial_decimate(cur, oh, ow)
+        levels.append(Image2d(data=jnp.pad(cur, pad, mode="symmetric"),
+                              border=border))
+    return tuple(levels)
+
+
+def sharded_semi_dense_flow(
+        mesh: Mesh, positions: jax.Array, valid: jax.Array,
+        frame1: jax.Array, frame2: jax.Array, *,
+        winsize: int = 7, nscales: int = 4, propagation: int = 2,
+        patchsize: int = 5, search_niters: int = 5, axis: str = "sp",
+        refine_radius: int = 2,
+        ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Column-sharded ``semi_dense_optical_flow``.
+
+    ``frame1``/``frame2``: (H, W) global grayscale; ``positions`` (K, 2)
+    global float keypoints (replicated). Returns the same
+    (match_positions, distance, matched) as the single-device API.
+    """
+    h0, w0 = frame1.shape
+    n = mesh.shape[axis]
+    wl = w0 // n
+    border = max(3, winsize)
+    halo = flow_halo(winsize, nscales, patchsize, propagation,
+                     search_niters)
+    assert wl % (patchsize * 2 ** (nscales - 1)) == 0, (
+        f"shard width {wl} must be divisible by "
+        f"{patchsize * 2 ** (nscales - 1)}")
+    R_top = max(1, search_niters)
+    radii = F._level_radii(nscales, R_top,
+                           R_top if refine_radius is None
+                           else max(1, min(refine_radius, R_top)))
+    bounds = F._level_bounds(nscales, radii)
+    lvl_shapes = level_shapes((h0, w0), nscales)
+    grid_shapes = level_shapes((max(h0 // patchsize, 1),
+                                max(w0 // patchsize, 1)), nscales)
+    gwl = wl // patchsize
+    k = positions.shape[0]
+
+    def extend(fl, d_idx):
+        """Halo-extended local slice: one-hop ring exchange when the halo
+        fits in a neighbour's shard (the production regime — neighbour
+        ICI traffic only), else an all-gather + slice (narrow-shard
+        fallback, e.g. test meshes wider than the frame)."""
+        if halo <= wl:
+            return _halo_exchange_open(
+                fl, halo, axis, _edge_fill(fl, halo, border, True),
+                _edge_fill(fl, halo, border, False))
+        glob = jax.lax.all_gather(fl, axis, axis=1, tiled=True)
+        padded = jnp.concatenate(
+            [_edge_fill(glob, halo, border, True), glob,
+             _edge_fill(glob, halo, border, False)], axis=1)
+        return jax.lax.dynamic_slice(padded, (0, d_idx * wl),
+                                     (h0, wl + 2 * halo))
+
+    def local_flow(f1l, f2l, pos, val):
+        d_idx = jax.lax.axis_index(axis)
+        ext1 = extend(f1l, d_idx)
+        ext2 = extend(f2l, d_idx)
+        pyr1 = _ext_pyramid(ext1, nscales, border, lvl_shapes)
+        pyr2 = _ext_pyramid(ext2, nscales, border, lvl_shapes)
+
+        g0 = d_idx * wl                       # owned global start column
+        flow = None
+        for s in range(nscales - 1, -1, -1):
+            a1 = pyr1[s].data.astype(jnp.float32)
+            a2 = pyr2[s].data.astype(jnp.float32)
+            h_s = lvl_shapes[s][0]
+            we_s = (wl + 2 * halo) // 2 ** s
+            gh_s = grid_shapes[s][0]
+            gwe_s = we_s // patchsize
+            # the ext slice's global level-s column origin (traced)
+            col0 = (g0 - halo) // (2 ** s)
+
+            if flow is None:
+                pred = jnp.zeros((gh_s, gwe_s, 2), jnp.int32)
+            else:
+                cgh = grid_shapes[s + 1][0]
+                ir = jnp.clip(jnp.arange(gh_s) // 2, 0, cgh - 1)
+                ic = jnp.arange(gwe_s) // 2          # exact halving
+                pred = 2 * flow[ir[:, None], ic[None, :]]
+
+            R = radii[s]
+            disp, offsets = F._displacement_table(R)
+            pred_bound = 0 if s == nscales - 1 else 2 * bounds[s + 1]
+            flow, dist = F._flow_level_xla(
+                a1, a2, pred, border, h_s, we_s, winsize, patchsize,
+                gh_s, gwe_s, R, offsets, disp, pred_bound,
+                propagation, col0=col0, w_total=lvl_shapes[s][1])
+
+        # readout for keypoints whose cell this device owns (the
+        # single-device readout's cell arithmetic; identical to the mark
+        # cell for in-domain positions)
+        gh0, gw0 = grid_shapes[0]
+        cell = jnp.clip(jnp.floor(pos / patchsize).astype(jnp.int32), 0,
+                        jnp.array([gh0 - 1, gw0 - 1]))
+        own = ((cell[:, 1] >= d_idx * gwl) &
+               (cell[:, 1] < (d_idx + 1) * gwl))
+        cr = cell[:, 0]
+        cc = jnp.clip(cell[:, 1] - (g0 - halo) // patchsize, 0,
+                      flow.shape[1] - 1)
+        # occupancy mark of owned cells (only owned keypoints land here)
+        mark = jnp.zeros((gh0, flow.shape[1]), bool).at[
+            jnp.where(val & own, cr, gh0),
+            jnp.where(val & own, cc, 0)].max(
+            jnp.ones_like(val), mode="drop")
+        matched = val & own & mark[cr, cc]
+        f = flow[cr, cc].astype(jnp.float32)
+        match_pos = pos + f
+        distance = dist[cr, cc]
+        # exactly one owner per keypoint: the psum is a select
+        z = jnp.zeros_like(match_pos)
+        return (jax.lax.psum(jnp.where(own[:, None], match_pos, z), axis),
+                jax.lax.psum(jnp.where(own, distance, 0.0), axis),
+                jax.lax.psum(matched.astype(jnp.int32), axis) > 0)
+
+    run = shard_map(local_flow, mesh=mesh,
+                    in_specs=(P(None, axis), P(None, axis), P(), P()),
+                    out_specs=(P(), P(), P()))
+    return run(frame1, frame2, positions, valid)

@@ -562,8 +562,12 @@ def slam_step(state: SlamState, frame1: Image2d, frame2: Image2d,
 
 def slam_run(frames: jax.Array, cfg: SlamConfig,
              bootstrap_poses: Optional[jax.Array] = None,
-             mesh=None, axis: str = "lm") -> SlamState:
-    """Whole-clip SLAM under one ``lax.scan`` (frames (T, H, W))."""
+             mesh=None, axis: str = "lm", collect_tracks: bool = False):
+    """Whole-clip SLAM under one ``lax.scan`` (frames (T, H, W)).
+
+    With ``collect_tracks`` returns (state, (positions (T, K, 2),
+    alive (T, K))) — the per-frame tracker history, for evaluation
+    harnesses (evaluation/slam_eval.py)."""
     from ..algorithms.pyramid import pyramid as build_pyramid
     b = max(3, cfg.tracker.winsize)
     state = slam_init(cfg, bootstrap_poses)
@@ -578,12 +582,15 @@ def slam_run(frames: jax.Array, cfg: SlamConfig,
         pyr2 = build_pyramid(f2, cfg.tracker.nscales, border=b)
         st = slam_step(st, f1, f2, cfg, mesh=mesh, axis=axis,
                        pyr1=pyr1, pyr2=pyr2)
-        return (st, f2.data, pyr2), None
+        out = ((st.tracker.keypoints.position, st.tracker.keypoints.alive)
+               if collect_tracks else None)
+        return (st, f2.data, pyr2), out
 
     f0 = pad(frames[0])
     pyr0 = build_pyramid(f0, cfg.tracker.nscales, border=b)
-    (final, _, _), _ = jax.lax.scan(step, (state, f0.data, pyr0), frames)
-    return final
+    (final, _, _), hist = jax.lax.scan(step, (state, f0.data, pyr0),
+                                       frames)
+    return (final, hist) if collect_tracks else final
 
 
 # ---------------------------------------------------------------------------
