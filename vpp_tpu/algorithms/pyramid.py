@@ -142,26 +142,46 @@ class Pyramid:
         return len(self.levels)
 
 
+_DECIM_CACHE: dict = {}
+
+
+def _decim_matrix(n: int, on: int) -> "np.ndarray":
+    """(on, n) banded decimating-binomial matrix: row i holds the
+    1-4-6-4-1/16 taps at source rows 2i-2..2i+2, mirror-reflected at the
+    edges (symmetric boundary). Dense on purpose: on this TPU a
+    (on, n) @ (n, m) matmul rides the MXU for ~free at image sizes, while
+    strided slicing (``x[::2]``) measured ~0.8 ms per VGA frame and a
+    1-channel strided conv ~0.6 ms — the decimation IS the matmul."""
+    import numpy as np
+    key = (n, on)
+    if key not in _DECIM_CACHE:
+        A = np.zeros((on, n), np.float32)
+        for i in range(on):
+            for t, kv in enumerate(_BINOMIAL):
+                src = 2 * i + t - 2
+                if src < 0:
+                    src = -src - 1
+                if src >= n:
+                    src = 2 * n - src - 1
+                A[i, src] += kv / 16.0
+        _DECIM_CACHE[key] = A
+    return _DECIM_CACHE[key]
+
+
 def _binomial_decimate(interior: jax.Array, oh: int, ow: int) -> jax.Array:
-    """Fused filter+decimate for float levels: one 5x5 binomial conv with
-    stride 2 over a symmetric-padded interior. Equivalent to
+    """Fused filter+decimate for float levels: separable 1-4-6-4-1/16 with
+    stride 2 expressed as two banded matmuls (A @ x @ Bᵀ). Equivalent to
     antialiasing_lowpass_filter + subsample2 except on the outermost 2-px
     rim, where the reference mirrors the *filtered* values between passes
     while this mirrors the *input* (documented deviation; the pyramid is a
     smoothing chain, the rim difference is sub-quantisation)."""
-    k1 = jnp.asarray(_BINOMIAL, jnp.float32) / 16.0
-    k2 = jnp.outer(k1, k1)
-    p = jnp.pad(interior, 2, mode="symmetric")
-    # make sure strided windows for the trailing sample stay in bounds
-    need_r = 2 * (oh - 1) + 5 - p.shape[0]
-    need_c = 2 * (ow - 1) + 5 - p.shape[1]
-    if need_r > 0 or need_c > 0:
-        p = jnp.pad(p, ((0, max(0, need_r)), (0, max(0, need_c))),
-                    mode="symmetric")
-    out = jax.lax.conv_general_dilated(
-        p[None, None], k2[None, None], window_strides=(2, 2),
-        padding="VALID", preferred_element_type=jnp.float32)[0, 0]
-    return out[:oh, :ow].astype(interior.dtype)
+    h, w = interior.shape
+    A = jnp.asarray(_decim_matrix(h, oh))
+    B = jnp.asarray(_decim_matrix(w, ow))
+    t = jax.lax.dot(A, interior.astype(jnp.float32),
+                    precision=jax.lax.Precision.HIGHEST)
+    out = jax.lax.dot(t, B.T, precision=jax.lax.Precision.HIGHEST)
+    return out.astype(interior.dtype)
 
 
 def pyramid(img: Image2d, nlevels: int, factor: float = 2.0,
