@@ -4,11 +4,22 @@ The sharded front-end (parallel/sharded_tracker.py) computes every owned
 cell with a halo wide enough to be exact, so match positions, distances
 and matched flags must be IDENTICAL to semi_dense_optical_flow away from
 the right image margin (the global grid chain's overhang column — see
-the module docstring)."""
+the module docstring).
+
+Geometry: small by default so the suite stays fast; the default config
+(nscales=2, search_niters=3, W=320 -> shard width 40 >= halo 40)
+exercises the PRODUCTION one-hop ppermute ring exchange, not the
+all-gather fallback. Set VPP_FULL_TESTS=1 to also run the round-3
+full-size configuration (nscales=3, search_niters=5, halo > shard width
+-> all-gather fallback path), ~5 extra minutes on CPU.
+"""
+
+import os
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 from jax.sharding import Mesh
 
 from vpp_tpu.core import from_array
@@ -16,78 +27,88 @@ from vpp_tpu.algorithms.flow import semi_dense_optical_flow
 from vpp_tpu.parallel.sharded_tracker import (flow_halo,
                                               sharded_semi_dense_flow)
 
-H, W = 96, 320            # W/8 = 40 = 2 x patch*2^(nscales-1) for ns=3
-NSCALES, WINSIZE, PATCH = 3, 9, 5
+H, W = 64, 320            # W/8 = 40 = 4 x patch*2^(nscales-1) for ns=2
+NSCALES, WINSIZE, PATCH, SN = 2, 7, 5, 3
+
+FULL = os.environ.get("VPP_FULL_TESTS", "") not in ("", "0")
 
 
 def _mesh(n=8):
     return Mesh(np.array(jax.devices()[:n]), ("sp",))
 
 
-def _scene(shift, seed=0):
+def _scene(shift, seed=0, h=H, w=W):
     rng = np.random.RandomState(seed)
-    base = rng.randint(0, 256, (H * 2, W * 2)).astype(np.float32)
+    base = rng.randint(0, 256, (h * 2, w * 2)).astype(np.float32)
     from numpy.lib.stride_tricks import sliding_window_view
     sm = sliding_window_view(np.pad(base, 1, mode="wrap"), (3, 3))
     sm = (sm.sum(axis=(2, 3)) // 9).astype(np.float32)
-    f1 = sm[32:32 + H, 32:32 + W]
-    f2 = sm[32 + shift[0]:32 + shift[0] + H,
-            32 + shift[1]:32 + shift[1] + W]
+    f1 = sm[32:32 + h, 32:32 + w]
+    f2 = sm[32 + shift[0]:32 + shift[0] + h,
+            32 + shift[1]:32 + shift[1] + w]
     return jnp.asarray(f1), jnp.asarray(f2)
 
 
-def test_sharded_flow_matches_single_device():
-    mesh = _mesh()
-    f1, f2 = _scene((3, -2))
-    rng = np.random.RandomState(1)
-    n = 120
-    # keypoints away from the column margins: the right margin carries
-    # the global grid chain's overhang influence, and at both margins
-    # the warp's roll-wrap junk (which only feeds cells with rejected /
-    # out-of-domain-prediction neighbours) wraps over different content
-    # in the sliced vs global buffers — flows agree, junk distances
-    # need not (module docstring, deviation 2)
-    pts = np.stack([rng.randint(8, H - 8, n),
-                    rng.randint(40, W - 56, n)], -1).astype(np.float32)
-    pts = jnp.asarray(pts)
-    val = jnp.ones((n,), bool)
-
-    kw = dict(winsize=WINSIZE, nscales=NSCALES, propagation=2,
-              patchsize=PATCH, search_niters=5)
-    b = max(3, WINSIZE)
+def _assert_equivalent(pts, val, f1, f2, kw, expect_flow=None):
+    b = max(3, kw["winsize"])
     i1 = from_array(f1, border=b, border_mode="mirror")
     i2 = from_array(f2, border=b, border_mode="mirror")
     m_ref, d_ref, ok_ref = semi_dense_optical_flow(pts, val, i1, i2, **kw)
-    m_sh, d_sh, ok_sh = sharded_semi_dense_flow(mesh, pts, val, f1, f2,
+    m_sh, d_sh, ok_sh = sharded_semi_dense_flow(_mesh(), pts, val, f1, f2,
                                                 **kw)
-
     np.testing.assert_array_equal(np.asarray(ok_ref), np.asarray(ok_sh))
     np.testing.assert_array_equal(np.asarray(m_ref), np.asarray(m_sh))
     np.testing.assert_allclose(np.asarray(d_ref), np.asarray(d_sh),
                                rtol=1e-5, atol=1e-3)
-    # sanity: the flow is actually right
-    fl = np.asarray(m_ref) - np.asarray(pts)
-    assert (np.abs(np.median(fl, axis=0) - [-3.0, 2.0]) <= 0.5).all()
+    if expect_flow is not None:
+        fl = np.asarray(m_ref) - np.asarray(pts)
+        assert (np.abs(np.median(fl, axis=0) - expect_flow) <= 0.5).all()
+    return ok_sh
+
+
+def _pts(n, seed=1, h=H, w=W):
+    """Keypoints away from the column margins: the right margin carries
+    the global grid chain's overhang influence, and at both margins the
+    warp's roll-wrap junk (which only feeds cells with rejected /
+    out-of-domain-prediction neighbours) wraps over different content in
+    the sliced vs global buffers — flows agree, junk distances need not
+    (module docstring, deviation 2)."""
+    rng = np.random.RandomState(seed)
+    return np.stack([rng.randint(8, h - 8, n),
+                     rng.randint(40, w - 56, n)], -1).astype(np.float32)
+
+
+KW = dict(winsize=WINSIZE, nscales=NSCALES, propagation=2,
+          patchsize=PATCH, search_niters=SN)
+
+
+def test_ring_halo_is_exercised():
+    # the default config must take the one-hop ring path, not the
+    # all-gather fallback: halo <= shard width
+    halo = flow_halo(WINSIZE, NSCALES, PATCH, 2, SN)
+    assert halo <= W // 8, (halo, W // 8)
+
+
+def test_sharded_flow_matches_single_device():
+    f1, f2 = _scene((3, -2))
+    n = 120
+    pts = jnp.asarray(_pts(n))
+    val = jnp.ones((n,), bool)
+    _assert_equivalent(pts, val, f1, f2, KW, expect_flow=[-3.0, 2.0])
 
 
 def test_sharded_flow_dead_keypoints_and_ownership():
-    mesh = _mesh()
     f1, f2 = _scene((1, 1), seed=3)
-    # keypoints straddling every shard boundary + a dead one
+    # keypoints straddling every shard boundary + dead ones; padded to
+    # the same K as the test above so the jitted program is reused
     cols = [41.0, 79.0, 81.0, 119.0, 160.0, 201.0, 239.0, 250.0, 255.0]
-    pts = jnp.asarray([[48.0, c] for c in cols], jnp.float32)
-    val = jnp.asarray([True] * 8 + [False])
-    kw = dict(winsize=WINSIZE, nscales=NSCALES, propagation=2,
-              patchsize=PATCH, search_niters=5)
-    b = max(3, WINSIZE)
-    i1 = from_array(f1, border=b, border_mode="mirror")
-    i2 = from_array(f2, border=b, border_mode="mirror")
-    m_ref, d_ref, ok_ref = semi_dense_optical_flow(pts, val, i1, i2, **kw)
-    m_sh, d_sh, ok_sh = sharded_semi_dense_flow(mesh, pts, val, f1, f2,
-                                                **kw)
-    np.testing.assert_array_equal(np.asarray(ok_ref), np.asarray(ok_sh))
-    assert not bool(ok_sh[-1])
-    np.testing.assert_array_equal(np.asarray(m_ref), np.asarray(m_sh))
+    n = 120
+    pts = _pts(n, seed=4)
+    pts[:len(cols)] = [[30.0, c] for c in cols]
+    val = np.zeros((n,), bool)
+    val[:8] = True                       # 9th boundary point stays dead
+    ok = _assert_equivalent(jnp.asarray(pts), jnp.asarray(val), f1, f2, KW)
+    assert not bool(ok[8])
 
 
 def test_flow_halo_covers_reach():
@@ -95,3 +116,19 @@ def test_flow_halo_covers_reach():
     h = flow_halo(9, 3, 5, 2, 5)
     assert h >= 5 * 7 + 9 + 10
     assert h % (5 * 4) == 0
+    # conservative sizing scales propagation travel by the level chain
+    hc = flow_halo(9, 3, 5, 2, 5, conservative=True)
+    assert hc >= 5 * 7 + 9 + 2 * 5 * 7
+
+
+@pytest.mark.skipif(not FULL, reason="set VPP_FULL_TESTS=1 for the "
+                    "full-size all-gather-fallback equivalence run")
+def test_sharded_flow_matches_single_device_full():
+    h, w = 96, 320
+    f1, f2 = _scene((3, -2), h=h, w=w)
+    n = 120
+    pts = jnp.asarray(_pts(n, h=h, w=w))
+    val = jnp.ones((n,), bool)
+    kw = dict(winsize=9, nscales=3, propagation=2, patchsize=5,
+              search_niters=5)
+    _assert_equivalent(pts, val, f1, f2, kw, expect_flow=[-3.0, 2.0])

@@ -84,6 +84,13 @@ class SlamConfig:
     #                                    looser than the closure gate: a
     #                                    lost tracker prefers a coarse fix
     #                                    over none at all
+    pg_lost_w: float = 0.05            # odometry edge weight at a lost /
+    #                                    recovered keyframe (its relative
+    #                                    pose is dead-reckoned or jumped —
+    #                                    the smoother should place loop
+    #                                    corrections exactly there)
+    lc_dcs_c: float = 0.3              # DCS kernel scale (SE3 units) for
+    #                                    robust closure reweighting
     pose_graph_iters: int = 8
     min_tracked: int = 10              # live-landmark PnP starvation gate
     tracker: VideoExtruderConfig = dataclasses.field(
@@ -114,6 +121,8 @@ class SlamState:
     arch_of_slot: jax.Array  # (N,) int32 slot -> archive row (-1 none)
     # --- pose-graph edges ----------------------------------------------
     pg_T: jax.Array         # (H, 4, 4) odometry edge k-1 -> k (rel pose)
+    pg_w: jax.Array         # (H,) odometry edge weight (down-weighted at
+    #                         lost/recovered keyframes)
     lc_j: jax.Array         # (L,) int32 loop-closure target keyframe
     lc_T: jax.Array         # (L, 4, 4) measured absolute pose constraint
     lc_w: jax.Array         # (L,) float32 edge weight (0 = empty)
@@ -151,6 +160,7 @@ def slam_init(cfg: SlamConfig,
         arch_ptr=jnp.int32(0),
         arch_of_slot=jnp.full((n,), -1, jnp.int32),
         pg_T=jnp.broadcast_to(jnp.eye(4), (cfg.history, 4, 4)),
+        pg_w=jnp.ones((cfg.history,), jnp.float32),
         lc_j=jnp.zeros((cfg.lc_slots,), jnp.int32),
         lc_T=jnp.broadcast_to(jnp.eye(4), (cfg.lc_slots, 4, 4)),
         lc_w=jnp.zeros((cfg.lc_slots,), jnp.float32),
@@ -244,13 +254,123 @@ def _projection_matrix(T: jax.Array, intr: jax.Array) -> jax.Array:
     return K @ T[:3]
 
 
+def _map_vote_pnp(X: jax.Array, desc: jax.Array, base: jax.Array,
+                  pos: jax.Array, valid: jax.Array, frame: Image2d,
+                  cfg: SlamConfig, T_prior: jax.Array, intr: jax.Array,
+                  *, rounds: int = 2
+                  ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Drift-robust PnP of a frame's FAST detections against ANY landmark
+    map (``X`` (A, 3) world positions, ``desc`` (A, P²) descriptors,
+    ``base`` (A,) usable-entry mask) — the one matching routine behind
+    tracking recovery, loop-closure measurement and relocalization.
+
+    Stages (all branchless):
+
+    1. **iterated translation-consensus vote** (``rounds``x): every map
+       entry projects under the current pose estimate and pairs with its
+       4 nearest detections within ``3x lc_search_radius`` (drift moves
+       projections beyond the tight radius; several candidates per entry
+       remove the nearest-neighbour bias toward "confirm the prior").
+       Each pair votes for the camera-translation correction
+       dt ≈ (uv - pred) * z / f — correct pairs agree on dt regardless
+       of depth, aliased pairs scatter. The 3x3-smoothed histogram peak
+       (a deterministic scatter-add stand-in for RANSAC) shifts the pose;
+       iterating re-centres the candidate sets, converging through
+       drifts much larger than the map's feature spacing.
+    2. **one Huber GN PnP** on the final round's peak-consistent pairs,
+       appearance-gated (min-over-±1px-shift SAD vs the entry's
+       descriptor). No tight re-association afterwards: with a residual
+       pose error of a few px, nearest-claim re-association latches onto
+       feature-spacing aliases and drags the pose back toward the prior
+       (measured on the loop scenario: it cost ~0.15 m of accuracy).
+
+    Returns (T, err, n): pose, mean Huber-PnP reprojection error, and the
+    number of DISTINCT detections among the inlier pairs."""
+    fx, fy = intr[0], intr[1]
+    posf = pos.astype(jnp.float32)
+    a_n = X.shape[0]
+    rows = jnp.arange(a_n)
+    Xh = jnp.concatenate([X, jnp.ones((a_n, 1))], axis=1)
+    energy = jnp.maximum(jnp.sum(jnp.abs(desc), axis=1), 1.0)
+    R_wide = 3.0 * cfg.lc_search_radius
+    C = 4
+    NB, step = 33, 0.075
+    bmax = step * (NB - 1) / 2.0
+
+    def vote_round(Tp):
+        pred = project(Tp[None], X, intr)                    # (A, 2)
+        d2 = jnp.sum((pred[:, None] - posf[None]) ** 2, axis=-1)
+        d2 = jnp.where(valid[None], d2, _HUGE)
+        js, dss = [], []
+        d2c = d2
+        for _ in range(C):
+            j = jnp.argmin(d2c, axis=1)
+            dss.append(jnp.min(d2c, axis=1))
+            js.append(j)
+            d2c = d2c.at[rows, j].set(_HUGE)
+        js = jnp.stack(js, axis=1)                           # (A, C)
+        ds = jnp.stack(dss, axis=1)
+        cand_uv = posf[js]                                   # (A, C, 2)
+        z = (Xh @ Tp.T)[:, 2]
+        txc = (cand_uv[..., 1] - pred[:, None, 1]) * z[:, None] / fx
+        tyc = (cand_uv[..., 0] - pred[:, None, 0]) * z[:, None] / fy
+        m = base[:, None] & (ds <= R_wide ** 2) & (z[:, None] > 0.1)
+        bx = jnp.clip(jnp.round((txc + bmax) / step).astype(jnp.int32),
+                      0, NB - 1)
+        by = jnp.clip(jnp.round((tyc + bmax) / step).astype(jnp.int32),
+                      0, NB - 1)
+        votes = jnp.zeros((NB * NB,), jnp.float32).at[
+            jnp.where(m, by * NB + bx, NB * NB).reshape(-1)].add(
+            1.0, mode="drop").reshape(NB, NB)
+        vp = jnp.pad(votes, 1)
+        sm = sum(vp[i:i + NB, jj:jj + NB]
+                 for i in range(3) for jj in range(3))
+        pk = jnp.argmax(sm.reshape(-1))
+        tx0 = (pk % NB).astype(jnp.float32) * step - bmax
+        ty0 = (pk // NB).astype(jnp.float32) * step - bmax
+        dd = jnp.where(m, (txc - tx0) ** 2 + (tyc - ty0) ** 2, _HUGE)
+        return Tp.at[0, 3].add(tx0).at[1, 3].add(ty0), js, cand_uv, dd
+
+    T = T_prior
+    for _ in range(rounds):
+        T, js, cand_uv, dd = vote_round(T)
+
+    cb = jnp.argmin(dd, axis=1)
+    db = jnp.min(dd, axis=1)
+    uv1 = cand_uv[rows, cb]
+    j1 = js[rows, cb]
+    inl = base & (db <= (2.0 * step) ** 2)
+    # appearance gate on the chosen pairs (min-over-shift SAD). The
+    # geometric consensus has already filtered hard, so the gate runs at
+    # 2x the claim-time threshold — it only needs to reject gross
+    # appearance mismatches, not arbitrate between near-identical
+    # features (a tight gate here measured ~3x fewer inliers with a
+    # prior-consistent survivor bias).
+    best = jnp.full((a_n,), _HUGE)
+    for drr in (-1, 0, 1):
+        for dcc in (-1, 0, 1):
+            off = jnp.asarray([drr, dcc], jnp.int32)
+            patches = extract_patches(
+                frame.data, pos[j1] + off[None] + frame.border,
+                cfg.desc_patch)
+            q = patches.reshape(-1, cfg.desc_patch ** 2)
+            best = jnp.minimum(best, jnp.sum(jnp.abs(q - desc), axis=1))
+    inl = inl & (best < 2.0 * cfg.lc_appearance_gate * energy)
+
+    T1, err = pnp_gn(T, X, uv1, inl, intr,
+                     iters=cfg.pnp_iters, huber=cfg.ba_huber)
+    q_n = posf.shape[0]
+    seen = jnp.zeros((q_n,), bool).at[
+        jnp.where(inl, j1, q_n)].max(True, mode="drop")
+    return T1, err, jnp.sum(seen)
+
+
 def _archive_pnp(state: SlamState, frame2: Image2d, cfg: SlamConfig,
                  T_prior: jax.Array, intr: jax.Array,
                  min_frame_gap: int) -> Tuple[jax.Array, jax.Array,
                                               jax.Array]:
     """PnP of the current frame against the landmark ARCHIVE (retired
-    map): FAST detections claim archived landmarks by projection
-    proximity + appearance, then annealed-Huber GN PnP.
+    map) via ``_map_vote_pnp``.
 
     ``min_frame_gap``: archive entries at least this many frames old form
     the *revisit* match set — the loop-closure measurement (fresh entries
@@ -259,49 +379,24 @@ def _archive_pnp(state: SlamState, frame2: Image2d, cfg: SlamConfig,
 
     Returns ((T_rec, err_rec, n_rec), (T_lc, err_lc, n_lc)): PnP against
     the full set (tracking recovery) and against the revisit set (loop
-    closure). One FAST detection + one claim pass serves both."""
+    closure). One FAST detection pass serves both; counts are DISTINCT
+    matched detections."""
     from ..algorithms.fast import fast9
 
     pos, score, valid = fast9(frame2, cfg.tracker.detector_th,
                               k=cfg.tracker.detect_k, blockwise=True,
                               block_size=cfg.tracker.keypoint_spacing)
-    posf = pos.astype(jnp.float32)
     cur_frame = state.tracker.frame_id
-
     filled = state.arch_frame >= 0
     old_enough = filled & (state.arch_frame <= cur_frame - min_frame_gap)
-    energy = jnp.maximum(jnp.sum(jnp.abs(state.arch_desc), axis=1), 1.0)
 
-    # --- claim + appearance gate ---------------------------------------
-    pred = project(T_prior[None], state.arch_X, intr)       # (A, 2)
-    d2 = jnp.sum((pred[:, None] - posf[None]) ** 2, axis=-1)
-    d2 = jnp.where(valid[None], d2, _HUGE)
-    claim = jnp.argmin(d2, axis=1)
-    near = jnp.min(d2, axis=1) <= cfg.lc_search_radius ** 2
-    uv = posf[claim]
-    best = jnp.full((state.arch_X.shape[0],), _HUGE)
-    for drr in (-1, 0, 1):
-        for dcc in (-1, 0, 1):
-            off = jnp.asarray([drr, dcc], jnp.int32)
-            patches = extract_patches(
-                frame2.data, pos[claim] + off[None] + frame2.border,
-                cfg.desc_patch)
-            q = patches.reshape(-1, cfg.desc_patch ** 2)
-            best = jnp.minimum(
-                best, jnp.sum(jnp.abs(q - state.arch_desc), axis=1))
-    ok = filled & near & (best < cfg.lc_appearance_gate * energy)
-    ok_old = ok & old_enough
-
-    def solve(mask):
-        T1, _ = pnp_gn(T_prior, state.arch_X, uv, mask, intr,
-                       iters=cfg.pnp_iters, huber=4 * cfg.ba_huber)
-        return pnp_gn(T1, state.arch_X, uv, mask, intr,
-                      iters=cfg.pnp_iters, huber=cfg.ba_huber / 2)
-
-    T_rec, err_rec = solve(ok)
-    T_lc, err_lc = solve(ok_old)
-    return ((T_rec, err_rec, jnp.sum(ok)),
-            (T_lc, err_lc, jnp.sum(ok_old)))
+    T_rec, err_rec, n_rec = _map_vote_pnp(
+        state.arch_X, state.arch_desc, filled, pos, valid, frame2, cfg,
+        T_prior, intr)
+    T_lc, err_lc, n_lc = _map_vote_pnp(
+        state.arch_X, state.arch_desc, old_enough, pos, valid, frame2,
+        cfg, T_prior, intr)
+    return ((T_rec, err_rec, n_rec), (T_lc, err_lc, n_lc))
 
 
 def _do_keyframe(state: SlamState, frame2: Image2d, cfg: SlamConfig,
@@ -467,6 +562,15 @@ def _do_keyframe(state: SlamState, frame2: Image2d, cfg: SlamConfig,
     arch_of_slot = jnp.where(
         good, jnp.minimum(a_idx, a_cap - 1).astype(jnp.int32),
         jnp.where(lm_valid, state.arch_of_slot, -1))
+    # ring-wrap invalidation: an append that overwrites an archive row
+    # still referenced by an older live slot would let that slot's next
+    # refresh scatter corrupt the new entry's position — clear any
+    # pointer whose row was just overwritten by someone else
+    overwritten = jnp.zeros((a_cap,), bool).at[a_idx].set(True,
+                                                          mode="drop")
+    stale = ((arch_of_slot >= 0) & ~good
+             & overwritten[jnp.clip(arch_of_slot, 0, a_cap - 1)])
+    arch_of_slot = jnp.where(stale, -1, arch_of_slot)
 
     # --- trajectory history -------------------------------------------
     # write the new keyframe + refresh every keyframe still in the ring
@@ -492,6 +596,12 @@ def _do_keyframe(state: SlamState, frame2: Image2d, cfg: SlamConfig,
         kf_pose[prev_cols], kf_pose[cols])
     pg_T = state.pg_T.at[
         jnp.where(pair_ok, kf_ids, hcap)].set(rel, mode="drop")
+    # odometry confidence: a lost keyframe's pose is dead-reckoned (or a
+    # recovery jump) — its incoming relative edge carries no real
+    # odometry. Down-weighting it lets the smoother place loop-closure
+    # corrections AT the break instead of bending healthy segments.
+    pg_w = state.pg_w.at[jnp.where(kf < hcap, kf, hcap)].set(
+        jnp.where(lost, cfg.pg_lost_w, 1.0), mode="drop")
 
     # loop closure: accept the revisit PnP as an absolute-pose edge when
     # enough OLD archive entries agree (an edge from the gauge node 0)
@@ -501,10 +611,15 @@ def _do_keyframe(state: SlamState, frame2: Image2d, cfg: SlamConfig,
     li = jnp.where(lc_good, state.lc_ptr % lc_cap, lc_cap)
     lc_j = state.lc_j.at[li].set(kf, mode="drop")
     lc_T = state.lc_T.at[li].set(T_lc, mode="drop")
-    # weight: a closure is one noisy absolute measurement against many
-    # accurate local odometry edges (w=1 each); saturating at a few
-    # odometry-equivalents keeps a noisy closure from yanking the chain
-    w_lc = jnp.minimum(n_lc.astype(jnp.float32) / 8.0, 4.0)
+    # measurement-covariance weight: inlier support scales confidence up,
+    # the PnP's residual scales it down quadratically — a closure whose
+    # matches disagree by several px (a mixed pre-/post-drift archive
+    # set) is nearly ignored, a tight one counts like a few odometry
+    # edges (w=1 each). The 1.5 px pivot is the map-noise floor: archive
+    # positions carry ~0.3 triangulation noise, so even a perfect pose
+    # measurement leaves ~1-2 px of reprojection residual.
+    w_lc = (jnp.minimum(n_lc.astype(jnp.float32) / 8.0, 4.0)
+            * (1.5 / jnp.maximum(err_lc, 1.5)) ** 2)
     lc_w = state.lc_w.at[li].set(w_lc, mode="drop")
     lc_ptr = state.lc_ptr + lc_good.astype(jnp.int32)
 
@@ -514,7 +629,8 @@ def _do_keyframe(state: SlamState, frame2: Image2d, cfg: SlamConfig,
     # the live window (the window keeps its internally-BA-consistent
     # drifting frame; hist carries the globally-corrected trajectory) —
     # the design the reference stubs at structure_from_motion.hh:55-56.
-    from .pose_graph import PoseGraph, pose_graph_solve
+    from .pose_graph import (PoseGraph, pose_graph_residuals,
+                             pose_graph_solve)
 
     def solve_graph(hist):
         k_ids2 = jnp.arange(hcap)
@@ -527,11 +643,22 @@ def _do_keyframe(state: SlamState, frame2: Image2d, cfg: SlamConfig,
                                     jnp.zeros((lc_cap,), jnp.int32)]),
             edge_j=jnp.concatenate([k_ids2, lc_j]),
             edge_T=jnp.concatenate([pg_T, lcz]),
-            edge_w=jnp.concatenate([jnp.ones((hcap,)), lc_w]),
+            edge_w=jnp.concatenate([pg_w, lc_w]),
             edge_valid=jnp.concatenate([odo_valid, lc_w > 0]),
             fixed=(k_ids2 == 0) | (k_ids2 > jnp.minimum(kf, hcap - 1)))
         solved, _ = pose_graph_solve(g, iters=cfg.pose_graph_iters)
-        return solved.poses
+        # DCS robust re-solve (switchable-constraint style): a closure
+        # that stays inconsistent with the jointly-optimised graph is an
+        # outlier measurement — scale its weight by the Dynamic Covariance
+        # Scaling kernel of its post-solve residual and solve once more
+        res = pose_graph_residuals(solved)[hcap:]
+        rr = jnp.sum(res * res, axis=-1)
+        c2 = jnp.float32(cfg.lc_dcs_c ** 2)
+        s = jnp.minimum(1.0, 2.0 * c2 / (c2 + rr))
+        g2 = g._replace(poses=solved.poses,
+                        edge_w=jnp.concatenate([pg_w, lc_w * s]))
+        solved2, _ = pose_graph_solve(g2, iters=cfg.pose_graph_iters)
+        return solved2.poses
 
     hist_pose = jax.lax.cond(jnp.any(lc_w > 0), solve_graph,
                              lambda h: h, hist_pose)
@@ -543,7 +670,7 @@ def _do_keyframe(state: SlamState, frame2: Image2d, cfg: SlamConfig,
         n_keyframes=kf + 1, hist_pose=hist_pose, hist_frame=hist_frame,
         arch_X=arch_X, arch_desc=arch_desc, arch_frame=arch_frame,
         arch_ptr=arch_ptr, arch_of_slot=arch_of_slot, pg_T=pg_T,
-        lc_j=lc_j, lc_T=lc_T, lc_w=lc_w, lc_ptr=lc_ptr)
+        pg_w=pg_w, lc_j=lc_j, lc_T=lc_T, lc_w=lc_w, lc_ptr=lc_ptr)
 
 
 def slam_step(state: SlamState, frame1: Image2d, frame2: Image2d,
@@ -598,16 +725,12 @@ def slam_run(frames: jax.Array, cfg: SlamConfig,
 # ---------------------------------------------------------------------------
 
 def relocalize(state: SlamState, frame: Image2d, cfg: SlamConfig,
-               detect_th: int = 10, search_radius: float = 8.0,
-               appearance_gate: float = 0.35
-               ) -> Tuple[jax.Array, jax.Array]:
-    """Recover the camera pose of ``frame`` from the map alone (the
-    briefly-lost-tracking scenario): FAST detection, then each live
-    landmark projects with the last keyframe pose as a prior and claims
-    its nearest detection within ``search_radius`` px, gated by patch
-    appearance (min-over-shift SAD vs its latest descriptor — the local
-    grid_index matching capability); the claimed 2D-3D pairs feed an
-    annealed-Huber GN PnP.
+               detect_th: int = 10) -> Tuple[jax.Array, jax.Array]:
+    """Recover the camera pose of ``frame`` from the LIVE map alone (the
+    briefly-lost-tracking scenario). Same map-agnostic routine as the
+    archive recovery/loop-closure path (``_map_vote_pnp``): iterated
+    translation-consensus voting over FAST detections, then Huber GN PnP
+    on the appearance-gated peak-consistent pairs.
 
     Returns (pose (4, 4), mean reprojection error of the matches). The
     map's descriptors carry its most recent appearance, so this recovers
@@ -619,42 +742,12 @@ def relocalize(state: SlamState, frame: Image2d, cfg: SlamConfig,
     pos, score, valid = fast9(frame, detect_th, k=cfg.tracker.detect_k,
                               blockwise=True,
                               block_size=cfg.tracker.keypoint_spacing)
-    posf = pos.astype(jnp.float32)
-
-    # landmark predictions under the prior pose
     colp = jnp.where(state.n_keyframes > 0,
                      (state.n_keyframes - 1) % cfg.ring, 0)
     T_prior = state.kf_pose[colp]
-    pred = project(T_prior[None], state.lm_X, intr)        # (N, 2)
-
-    # each landmark claims its nearest detection within the radius
-    d2 = jnp.sum((pred[:, None] - posf[None]) ** 2, axis=-1)   # (N, Q)
-    d2 = jnp.where(valid[None], d2, _HUGE)
-    claim = jnp.argmin(d2, axis=1)                             # (N,)
-    near = jnp.min(d2, axis=1) <= search_radius ** 2
-    uv = posf[claim]
-
-    # appearance gate: min-over-shift SAD of the claimed detection's
-    # patch vs the landmark's latest descriptor (phase-robust)
-    best = jnp.full((state.lm_X.shape[0],), _HUGE)
-    for drr in (-1, 0, 1):
-        for dcc in (-1, 0, 1):
-            off = jnp.asarray([drr, dcc], jnp.int32)
-            patches = extract_patches(
-                frame.data, pos[claim] + off[None] + frame.border,
-                cfg.desc_patch)
-            q = patches.reshape(-1, cfg.desc_patch ** 2)
-            best = jnp.minimum(
-                best, jnp.sum(jnp.abs(q - state.lm_desc), axis=1))
-    energy = jnp.maximum(jnp.sum(jnp.abs(state.lm_desc), axis=1), 1.0)
-    ok = (state.lm_valid & near & (best < appearance_gate * energy))
-
-    # annealed-Huber GN: wide basin first, tight polish after (robust to
-    # the residual outlier fraction without RANSAC)
-    T1, _ = pnp_gn(T_prior, state.lm_X, uv, ok, intr,
-                   iters=cfg.pnp_iters, huber=4 * cfg.ba_huber)
-    return pnp_gn(T1, state.lm_X, uv, ok, intr,
-                  iters=cfg.pnp_iters, huber=cfg.ba_huber / 2)
+    T, err, _n = _map_vote_pnp(state.lm_X, state.lm_desc, state.lm_valid,
+                               pos, valid, frame, cfg, T_prior, intr)
+    return T, err
 
 
 def keyframe_trajectory(state: SlamState) -> Tuple[jax.Array, jax.Array]:
