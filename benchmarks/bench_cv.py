@@ -73,27 +73,9 @@ def main():
             return F._flow_level_xla(a1_, a2_, pred_, B, h_, w_, WS, PATCH,
                                      gh_, gw_, R, offsets, disp, pb_, 2)
 
-        def pallas_level(a1_, a2_=a2, pred_=pred, h_=h, w_=w, gh_=gh,
-                         gw_=gw, pb_=pred_bound):
-            return F._flow_level_fused(a1_, a2_, pred_, B, h_, w_, WS,
-                                       PATCH, gh_, gw_, R, offsets, pb_, 2)
-
-        fits = F._fused_level_ok(hb, wb, B, WS, PATCH, gh, gw, R)
         t_xla = scan_time(xla_level, a1)
         rec = {"level": s, "shape": f"{w}x{h}", "grid": f"{gw}x{gh}",
                "pred_bound": pred_bound, "xla_ms": round(t_xla, 3)}
-        if fits:
-            t_pal = scan_time(pallas_level, a1)
-            rec["pallas_ms"] = round(t_pal, 3)
-            rec["speedup"] = round(t_xla / t_pal, 2)
-            fx, dx = jax.block_until_ready(jax.jit(xla_level)(a1))
-            fp, dp = jax.block_until_ready(jax.jit(pallas_level)(a1))
-            rec["flow_equal"] = bool((np.asarray(fx) == np.asarray(fp)
-                                      ).all())
-            rec["dist_maxdiff"] = float(np.abs(
-                np.asarray(dx) - np.asarray(dp)).max())
-        else:
-            rec["pallas_ms"] = None
         print(json.dumps(rec))
 
 

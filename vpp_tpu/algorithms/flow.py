@@ -22,8 +22,8 @@ slices (zero gathers):
 * warp frame 2 by the coarse prediction (one piecewise-constant-per-cell
   backward warp — the only gather, once per level);
 * for every displacement d in a (2R+1)² window: |I1 - shift(I2w, d)| is a
-  static slice + subtract; window SADs *at every grid cell at once* come
-  from one strided ``lax.reduce_window``;
+  static slice + subtract (bf16); window SADs *at every grid cell at
+  once* come from 0/1 banded-matmul window sums on the MXU;
 * per-cell flow = prediction + argmin over the volume, ties broken toward
   the smallest displacement exactly like the descent's "stay unless
   strictly better" rule;
@@ -49,7 +49,6 @@ import jax
 import jax.numpy as jnp
 
 from ..core.image import Image2d
-from ..ops.pallas_kernels import flow_level_fits, flow_level_pallas
 from .pyramid import Pyramid, level_shapes, pyramid
 
 _INF = np.float32(1e30)
@@ -222,43 +221,6 @@ def _level_pads(hb: int, wb: int, b: int, ws: int, patch: int, gh: int,
     return (pt, max(0, r0 + lr + R - hb), pl, max(0, r0 + lc + R - wb))
 
 
-def _flow_level_fused(a1: jax.Array, a2: jax.Array, pred: jax.Array,
-                      b: int, h: int, w: int, ws: int, patch: int,
-                      gh: int, gw: int, R: int,
-                      offsets: list, pred_bound: int,
-                      prop_iters: int) -> Tuple[jax.Array, jax.Array]:
-    """One level through the fused Pallas kernel (TPU): pad to cover the
-    displaced slices, expand the per-cell prediction to per-pixel digit
-    maps, and run warp + cost volume + argmin + propagation in VMEM.
-    Returns (flow (gh, gw, 2) int32, dist (gh, gw) f32)."""
-    hb, wb = a1.shape
-    pt, pb, pl_, pr = _level_pads(hb, wb, b, ws, patch, gh, gw, R)
-    s = jnp.clip(pred, -pred_bound, pred_bound) if pred_bound else pred
-    dig_r = _cells_to_pixels(s[..., 0], b, h, w, patch, hb, wb)
-    dig_c = _cells_to_pixels(s[..., 1], b, h, w, patch, hb, wb)
-    if pt or pb or pl_ or pr:
-        padc = ((pt, pb), (pl_, pr))
-        a1 = jnp.pad(a1, padc, mode="edge")
-        a2 = jnp.pad(a2, padc, mode="edge")
-        dig_r = jnp.pad(dig_r, padc, mode="edge")
-        dig_c = jnp.pad(dig_c, padc, mode="edge")
-    r0 = b - (ws // 2 - patch // 2)
-    fr, fc, dist = flow_level_pallas(
-        a1, a2, s[..., 0], s[..., 1], dig_r, dig_c,
-        r0=r0 + pt, c0=r0 + pl_, ws=ws, patch=patch, gh=gh, gw=gw,
-        radius=R, offsets=tuple(offsets), pred_bound=pred_bound,
-        prop_iters=prop_iters, h=h, w=w)
-    return jnp.stack([fr, fc], axis=-1), dist
-
-
-def _fused_level_ok(hb: int, wb: int, b: int, ws: int, patch: int,
-                    gh: int, gw: int, R: int) -> bool:
-    pt, pb, pl_, pr = _level_pads(hb, wb, b, ws, patch, gh, gw, R)
-    r0 = b - (ws // 2 - patch // 2)
-    return flow_level_fits(hb + pt + pb, wb + pl_ + pr, r0 + pt, r0 + pl_,
-                           ws, patch, gh, gw, R)
-
-
 def _flow_level_xla(a1: jax.Array, a2: jax.Array, pred: jax.Array,
                     b: int, h: int, w: int, ws: int, patch: int,
                     gh: int, gw: int, R: int, offsets: list,
@@ -266,10 +228,8 @@ def _flow_level_xla(a1: jax.Array, a2: jax.Array, pred: jax.Array,
                     prop_iters: int, col0: int = 0,
                     w_total: Optional[int] = None
                     ) -> Tuple[jax.Array, jax.Array]:
-    """One level through the XLA formulation: warp + cost volume + ordered
-    argmin + in-domain rejection + Jacobi propagation. Same semantics as
-    ``_flow_level_fused`` (the Pallas kernel); parity is pinned by
-    tests/test_pallas_flow.py.
+    """One level: warp + cost volume + ordered argmin + in-domain
+    rejection + Jacobi propagation.
 
     ``col0``/``w_total``: when ``a1`` is a column slice of a wider image
     (the sharded front-end), the in-domain rejection must test against the
@@ -398,7 +358,6 @@ def semi_dense_optical_flow(
         epipolar_flow: bool = False, epipolar_steps: int = 8,
         epipolar_filter: Optional[float] = None,
         pyr1: Optional[Pyramid] = None, pyr2: Optional[Pyramid] = None,
-        use_pallas: Optional[bool] = None,
         refine_radius: Optional[int] = 2,
         ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Track (K, 2) float keypoint ``positions`` from i1 to i2.
@@ -423,17 +382,15 @@ def semi_dense_optical_flow(
     fine-scale aliasing; see _level_radii). ``None`` searches the full
     radius at every level (the round-2 behaviour).
 
-    ``use_pallas``: None = auto (currently OFF: measured on the chip with
-    per-frame-varying inputs, the fused kernel costs ~1.6 ms/frame MORE
-    than the XLA path at VGA — its full-image digit maps and pre-padded
-    operands must materialise in HBM and block XLA's fusion; earlier
-    measurements that favoured it were polluted by loop-invariant
-    hoisting of constant test pyramids). True forces the kernel (it
-    computes identical quantities, bit-level for grayscale pyramids —
-    tests/test_pallas_flow.py).
+    A hand-written Pallas kernel for the level computation
+    (flow_level_pallas, removed in round 4) was correctness-pinned
+    bit-level against this path but measured ~1.6 ms/frame SLOWER at VGA
+    on chip — its full-image digit maps and pre-padded operands had to
+    materialise in HBM and blocked XLA's fusion. Its one genuinely
+    TPU-native idea — window sums as 0/1 banded matmuls on the MXU —
+    now lives in the XLA formulation itself (``_window_mats``), which
+    beats both the kernel and the strided ``reduce_window`` it replaced.
     """
-    if use_pallas is None:
-        use_pallas = False
     h0, w0 = i1.shape
     border = max(3, winsize)
     if pyr1 is None:
@@ -531,14 +488,6 @@ def semi_dense_optical_flow(
         disp, offsets = _displacement_table(R)
         # per-level flow envelope: the warp clip for the upsampled pred
         pred_bound = 0 if s == nscales - 1 else 2 * bounds[s + 1]
-        if use_pallas and _fused_level_ok(a1.shape[0], a1.shape[1], b,
-                                          winsize, patchsize, gh, gw, R):
-            flow, dist = _flow_level_fused(
-                a1, a2, pred, b, h, w, winsize, patchsize, gh, gw, R,
-                offsets, pred_bound, propagation)
-            levels[s] = _Level(flow=flow, dist=dist, mark=mark)
-            continue
-
         flow, dist = _flow_level_xla(a1, a2, pred, b, h, w, winsize,
                                      patchsize, gh, gw, R, offsets, disp,
                                      pred_bound, propagation)

@@ -159,8 +159,15 @@ def _local_maxima_mask(acc: jax.Array, nms_theta: int, nms_rho: int,
     ``threshold`` — the dense form of the reference's suppress loop
     (Kmeans body: the ±15 θ / ±12 ρ comparison sweep)."""
     t_theta = acc.shape[0]
-    # θ wrap: pad circularly along θ, clamp-pad (with -inf) along ρ
-    a = jnp.concatenate([acc[-nms_theta:], acc, acc[:nms_theta]], axis=0)
+    # θ wrap: θ ± π names the same line with ρ negated, and the ρ binning
+    # is affine-symmetric about the centre bin — so the circularly-padded
+    # θ slabs must be REVERSED along ρ (acc[:, ::-1]) to compare each
+    # peak against its true geometric neighbours. (The reference's sweep
+    # instead treats out-of-range θ as empty, which can double-report
+    # near-vertical lines; plain same-ρ wrapping — the round-3 behaviour
+    # — compared unrelated cells and could wrongly suppress them.)
+    a = jnp.concatenate([acc[-nms_theta:, ::-1], acc,
+                         acc[:nms_theta, ::-1]], axis=0)
     a = jnp.pad(a, ((0, 0), (nms_rho, nms_rho)), constant_values=_NEG)
     pooled = jax.lax.reduce_window(
         a, _NEG, jax.lax.max,
