@@ -132,3 +132,63 @@ def test_sharded_flow_matches_single_device_full():
     kw = dict(winsize=9, nscales=3, propagation=2, patchsize=5,
               search_niters=5)
     _assert_equivalent(pts, val, f1, f2, kw, expect_flow=[-3.0, 2.0])
+
+
+def test_sharded_update_matches_single_device():
+    """The COMPLETE sharded tracker step (flow + cull + blockwise
+    detection + lifecycle) equals the single-device update, bit-for-bit,
+    away from the flow's documented right-margin deviation (margin
+    keypoints are killed identically in both paths between steps)."""
+    from vpp_tpu.algorithms.video_extruder import (VideoExtruderConfig,
+                                                   video_extruder_init,
+                                                   video_extruder_update)
+    from vpp_tpu.core.keypoints import kp_kill_where
+    from vpp_tpu.parallel.sharded_tracker import (
+        sharded_video_extruder_update)
+
+    cfg = VideoExtruderConfig(capacity=128, detect_k=64, nscales=NSCALES,
+                              winsize=WINSIZE, patchsize=PATCH,
+                              keypoint_spacing=10, detector_period=2,
+                              detector_th=8)
+    mesh = _mesh()
+    b = max(3, cfg.winsize)
+    f0, f1 = _scene((2, -1), seed=7)
+    _, f2 = _scene((4, -2), seed=7)
+
+    def pad(f):
+        return from_array(f, border=b, border_mode="mirror")
+
+    def kill_margin(st):
+        col = st.keypoints.position[:, 1]
+        bad = st.keypoints.alive & ((col < 40) | (col >= W - 56))
+        return st.replace(keypoints=kp_kill_where(st.keypoints, bad))
+
+    st_ref = video_extruder_init(cfg)
+    st_sh = video_extruder_init(cfg)
+    for fr1, fr2 in ((f0, f0), (f0, f1), (f1, f2)):
+        st_ref = video_extruder_update(st_ref, pad(fr1), pad(fr2), cfg)
+        st_sh = sharded_video_extruder_update(mesh, st_sh, fr1, fr2, cfg)
+        np.testing.assert_array_equal(
+            np.asarray(st_ref.keypoints.age),
+            np.asarray(st_sh.keypoints.age))
+        np.testing.assert_array_equal(
+            np.asarray(st_ref.keypoints.position),
+            np.asarray(st_sh.keypoints.position))
+        np.testing.assert_array_equal(np.asarray(st_ref.traj_len),
+                                      np.asarray(st_sh.traj_len))
+        np.testing.assert_allclose(np.asarray(st_ref.traj),
+                                   np.asarray(st_sh.traj))
+        st_ref, st_sh = kill_margin(st_ref), kill_margin(st_sh)
+    assert int(np.asarray(st_ref.keypoints.alive).sum()) > 50
+
+
+def test_tracker_comm_report():
+    from vpp_tpu.parallel.mesh import tracker_comm_report
+    rep = tracker_comm_report(8, 480, 640, halo=80, capacity=4096,
+                              spacing=10, ring=8)
+    assert rep["owned_cols_per_device"] == 80
+    assert rep["halo_ppermute_bytes"] == 2 * 2 * 480 * 80 * 4
+    assert rep["total_comm_bytes_per_frame"] == (
+        rep["halo_ppermute_bytes"] + rep["flow_psum_bytes"]
+        + rep["cull_psum_bytes"] + rep["detect_allgather_bytes"])
+    assert rep["ba_psum_bytes_per_iter"] == (8 * 6 * 8 * 6 + 8 * 6 + 1) * 4

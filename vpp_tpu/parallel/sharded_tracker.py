@@ -151,11 +151,15 @@ def sharded_semi_dense_flow(
 from functools import lru_cache
 
 
-@lru_cache(maxsize=32)
-def _sharded_flow_program(mesh: Mesh, axis: str, shape: Tuple[int, int],
-                          k: int, winsize: int, nscales: int,
-                          propagation: int, patchsize: int,
-                          search_niters: int, refine_radius: int):
+def _flow_locals(mesh: Mesh, axis: str, shape: Tuple[int, int],
+                 winsize: int, nscales: int, propagation: int,
+                 patchsize: int, search_niters: int, refine_radius: int):
+    """Builds the per-device flow body shared by the sharded-flow and
+    sharded-update programs. Returns (local_flow, geom) where
+    ``local_flow(f1l, f2l, pos, val) -> (match, dist, matched, ext2)``
+    (the first three psum-combined and replicated, ``ext2`` the device's
+    halo-extended frame-2 slice for further local stages) and ``geom`` is
+    the dict of derived geometry constants."""
     h0, w0 = shape
     n = mesh.shape[axis]
     wl = w0 // n
@@ -250,9 +254,174 @@ def _sharded_flow_program(mesh: Mesh, axis: str, shape: Tuple[int, int],
         z = jnp.zeros_like(match_pos)
         return (jax.lax.psum(jnp.where(own[:, None], match_pos, z), axis),
                 jax.lax.psum(jnp.where(own, distance, 0.0), axis),
-                jax.lax.psum(matched.astype(jnp.int32), axis) > 0)
+                jax.lax.psum(matched.astype(jnp.int32), axis) > 0,
+                ext2)
+
+    geom = dict(h0=h0, w0=w0, wl=wl, halo=halo, border=border)
+    return local_flow, geom
+
+
+@lru_cache(maxsize=32)
+def _sharded_flow_program(mesh: Mesh, axis: str, shape: Tuple[int, int],
+                          k: int, winsize: int, nscales: int,
+                          propagation: int, patchsize: int,
+                          search_niters: int, refine_radius: int):
+    inner, _ = _flow_locals(mesh, axis, shape, winsize, nscales,
+                            propagation, patchsize, search_niters,
+                            refine_radius)
+
+    def local_flow(f1l, f2l, pos, val):
+        m, d, ok, _ext = inner(f1l, f2l, pos, val)
+        return m, d, ok
 
     return jax.jit(shard_map(
         local_flow, mesh=mesh,
         in_specs=(P(None, axis), P(None, axis), P(), P()),
         out_specs=(P(), P(), P())))
+
+
+def sharded_video_extruder_update(mesh: Mesh, state, frame1: jax.Array,
+                                  frame2: jax.Array, cfg,
+                                  axis: str = "sp"):
+    """Column-sharded ``video_extruder_update`` — the COMPLETE tracker
+    step, not just the flow: per-shard semi-dense flow (halo-exact),
+    per-shard FAST score cull and blockwise detection on the owned
+    columns, and replicated keypoint lifecycle.
+
+    SPMD layout: the frames shard over ``axis``; the tracker state is
+    replicated (a few hundred KB at production capacity). Image-reading
+    stages run per shard and combine with owner-exclusive ``psum``s
+    (score cull) or an ``all_gather`` of the per-block detection winners
+    (one (score, position) pair per ``keypoint_spacing`` block — a few KB
+    per frame); lifecycle stages (move/merge/spawn/trajectories) are pure
+    functions of the replicated state and run identically on every
+    device. Away from the right image margin the result is bit-identical
+    to the single-device ``video_extruder_update`` (same caveats as
+    ``sharded_semi_dense_flow``).
+
+    Reference semantics being sharded: video_extruder.hpp:23-135 with the
+    per-shard detection of fast.hpp:744-799.
+    """
+    run = _sharded_update_program(mesh, axis, frame2.shape, cfg)
+    return run(state, frame1, frame2)
+
+
+@lru_cache(maxsize=16)
+def _sharded_update_program(mesh: Mesh, axis: str,
+                            shape: Tuple[int, int], cfg):
+    from ..algorithms.fast import fast9_score, fast9_score_image
+    from ..algorithms.video_extruder import (VideoExtruderState,
+                                             _merge_collided,
+                                             _occupancy_mask)
+    from ..core.keypoints import kp_add, kp_kill_where, kp_move_all
+
+    h0, w0 = shape
+    n = mesh.shape[axis]
+    wl = w0 // n
+    bs = cfg.keypoint_spacing
+    assert wl % bs == 0, (
+        f"shard width {wl} must be divisible by keypoint_spacing {bs}")
+    inner, geom = _flow_locals(mesh, axis, shape, cfg.winsize,
+                               cfg.nscales, cfg.propagation,
+                               cfg.patchsize, 5, 2)
+    halo, border = geom["halo"], geom["border"]
+    nbr, nbc_l = -(-h0 // bs), wl // bs
+    nb = nbr * nbc_l * n                      # global candidate count
+
+    def local_update(state, f1l, f2l):
+        d_idx = jax.lax.axis_index(axis)
+        g0 = d_idx * wl
+        kps = state.keypoints
+        frame_id = state.frame_id + 1
+
+        # 1. track (sharded flow; m/dist/ok replicated after psum)
+        m, dist, ok, ext2 = inner(f1l, f2l, kps.position, kps.alive)
+        in_dom = ((m[:, 0] >= 0) & (m[:, 0] <= h0 - 1) &
+                  (m[:, 1] >= 0) & (m[:, 1] <= w0 - 1))
+        kps = kp_move_all(kps, m, ok & in_dom)
+
+        # 2. merge collided (replicated pure function of the state)
+        kps = _merge_collided(kps, (h0, w0), bs)
+
+        # 3. cull: FAST score sampled on the owner's slice, psum-select
+        pad = [(border, border), (border, border)]
+        ext_img2 = Image2d(data=jnp.pad(ext2, pad, mode="symmetric"),
+                           border=border)
+        score_ext = fast9_score(ext_img2, cfg.detector_th)
+        pos_i = jnp.clip(jnp.round(kps.position).astype(jnp.int32), 0,
+                         jnp.array([h0 - 1, w0 - 1]))
+        own = (pos_i[:, 1] >= g0) & (pos_i[:, 1] < g0 + wl)
+        lc = jnp.clip(pos_i[:, 1] - (g0 - halo), 0, wl + 2 * halo - 1)
+        sc = jax.lax.psum(
+            jnp.where(own, score_ext[pos_i[:, 0], lc], 0), axis)
+        kps = kp_kill_where(kps, kps.alive & (sc < 3))
+
+        # 4. periodic detection: per-shard blockwise winners on the OWNED
+        # columns (halo gives the 3px FAST context), all_gather of the
+        # tiny per-block candidate lists, then the exact single-device
+        # top-k + spawn on every device
+        def detect(kps):
+            maskg = _occupancy_mask(kps, (h0, w0), bs)
+            mask_loc = jax.lax.dynamic_slice(maskg, (0, g0), (h0, wl))
+            mask_ext = jnp.zeros((h0, wl + 2 * halo), maskg.dtype).at[
+                :, halo:halo + wl].set(mask_loc)
+            simg = fast9_score_image(ext_img2, cfg.detector_th,
+                                     mask=mask_ext)
+            a = simg.interior.astype(jnp.int32)[:, halo:halo + wl]
+            padded = jnp.pad(a, [(0, nbr * bs - h0), (0, 0)],
+                             constant_values=-1)
+            blocks = padded.reshape(nbr, bs, nbc_l, bs).transpose(
+                0, 2, 1, 3).reshape(nbr, nbc_l, bs * bs)
+            idx = jnp.argmax(blocks, axis=-1)
+            vmax = jnp.max(blocks, axis=-1)
+            pos_r = jnp.arange(nbr)[:, None] * bs + idx // bs
+            pos_c = jnp.arange(nbc_l)[None, :] * bs + idx % bs + g0
+            cs = jnp.maximum(vmax, 0)
+            cp = jnp.stack([pos_r, pos_c], axis=-1)
+            csg = jax.lax.all_gather(cs, axis)        # (n, nbr, nbc_l)
+            cpg = jax.lax.all_gather(cp, axis)
+            # global block-row-major order == the single-device
+            # _blockwise_keypoints candidate order
+            cand_score = csg.transpose(1, 0, 2).reshape(-1)
+            cand_pos = cpg.transpose(1, 0, 2, 3).reshape(-1, 2)
+            key = cand_score * nb + (nb - 1
+                                     - jnp.arange(nb, dtype=jnp.int32))
+            kk = min(cfg.detect_k, nb)
+            topv, topi = jax.lax.top_k(
+                jnp.where(cand_score > 0, key, -1), kk)
+            validk = topv >= 0
+            posk = cand_pos[topi]
+            if kk < cfg.detect_k:
+                padn = cfg.detect_k - kk
+                posk = jnp.concatenate(
+                    [posk, jnp.zeros((padn, 2), posk.dtype)])
+                validk = jnp.concatenate(
+                    [validk, jnp.zeros((padn,), bool)])
+            return kp_add(kps, posk.astype(jnp.float32), validk)
+
+        kps = jax.lax.cond(frame_id % cfg.detector_period == 0,
+                           detect, lambda s: s, kps)
+
+        # 5. trajectories (replicated; video_extruder.hpp:123-133)
+        is_new = kps.age == 1
+        alive = kps.alive
+        shifted = jnp.concatenate([kps.position[:, None, :],
+                                   state.traj[:, :-1]], axis=1)
+        traj = jnp.where(alive[:, None, None], shifted, state.traj)
+        traj_len = jnp.where(
+            alive,
+            jnp.where(is_new, 1,
+                      jnp.minimum(state.traj_len + 1,
+                                  cfg.max_trajectory_length)),
+            0)
+        return VideoExtruderState(keypoints=kps, traj=traj,
+                                  traj_len=traj_len, frame_id=frame_id)
+
+    # check_vma off: the lifecycle values ARE replicated (every device
+    # computes them from psum/all_gather-combined inputs), but the
+    # varying-axis tracker cannot see through the data-dependent detect
+    # branch and would reject the replicated out_specs
+    return jax.jit(shard_map(
+        local_update, mesh=mesh,
+        in_specs=(P(), P(None, axis), P(None, axis)),
+        out_specs=P(), check_vma=False))
