@@ -42,6 +42,8 @@ def main():
     ap.add_argument("--frames", type=int, default=30)
     ap.add_argument("--m-lines", type=int, default=8)
     ap.add_argument("--out", default=None)
+
+    ap.add_argument("--render", default=None)
     args = ap.parse_args()
 
     import jax
@@ -82,6 +84,22 @@ def main():
     if args.out:
         np.save(args.out, np.stack(outs))
         print("wrote", args.out)
+
+    if args.render:
+        # image-space rendering (paint.hh / draw_trajectories_hough_V1
+        # capability): trail paint buffer + per-track coloured segments
+        from vpp_tpu.draw.hough_paint import (draw_line_tracks,
+                                              paint_hough_video)
+        h, w = frames[0].shape
+        acc_shape = (cfg.t_theta, int(np.ceil(np.hypot(h, w))))
+        paint = jnp.zeros((h, w, 4), jnp.float32)
+        paint = paint_hough_video(paint, state, acc_shape)
+        rgb = np.repeat(np.asarray(frames[-1])[..., None], 3, -1)
+        overlay = draw_line_tracks(jnp.asarray(rgb, jnp.uint8), state,
+                                   acc_shape)
+        np.save(args.render, {"paint": np.asarray(paint),
+                              "overlay": np.asarray(overlay)})
+        print("wrote", args.render)
 
 
 if __name__ == "__main__":
