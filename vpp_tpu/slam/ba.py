@@ -177,13 +177,33 @@ def _masked_cost(p: BAProblem, huber: float) -> jax.Array:
 def ba_solve(p: BAProblem, *, iters: int = 10, huber: float = 4.0,
              lam0: float = 1e-3,
              mesh=None, axis: str = "obs") -> Tuple[BAProblem, jax.Array]:
-    """Levenberg-Marquardt BA. Returns (refined problem, (iters,) costs).
+    """Levenberg-Marquardt BA on the FLAT observation layout — a
+    small-window solver and the cross-check oracle for
+    ``ba_solve_tracks`` (the production path).
 
-    With ``mesh`` given, the observation arrays must be shardable along
-    ``axis`` (O divisible by the axis size); the per-shard H/b blocks are
-    ``psum``-reduced over ICI and every device performs the same replicated
-    solve — the distributed Hessian-reduction pattern.
+    Memory is quadratic-ish: the Schur assembly materialises an
+    (N, M, 6, 3) pose-landmark coupling tensor. At a sliding window's
+    scale (M <= ~16, N <= ~2k) that is a few MB; at map scale (N = 10k,
+    M = 128) it is ~9 GB and at N = 100k it would be 92 GB — use
+    ``ba_solve_tracks``, which assembles per-landmark K x K block pairs
+    and shards over landmarks, for anything beyond a window. A guard
+    below refuses the obviously-fatal regime rather than letting the
+    allocator die.
+
+    Returns (refined problem, (iters,) costs). With ``mesh`` given, the
+    observation arrays must be shardable along ``axis`` (O divisible by
+    the axis size); the per-shard H/b blocks are ``psum``-reduced over
+    ICI and every device performs the same replicated solve — the
+    distributed Hessian-reduction pattern.
     """
+    n_lm = p.landmarks.shape[0]
+    n_pose = p.poses.shape[0]
+    coupling_gb = n_lm * n_pose * 18 * 4 / 1e9
+    if coupling_gb > 4.0:
+        raise ValueError(
+            f"ba_solve's flat layout would allocate ~{coupling_gb:.1f} GB "
+            f"for the (N={n_lm}, M={n_pose}, 6, 3) coupling tensor; use "
+            "ba_solve_tracks (landmark-major, shardable) at this scale")
 
     def assemble_full(prob: BAProblem):
         r, Jp, Jl = _obs_jacobians(prob)
