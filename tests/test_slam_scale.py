@@ -77,7 +77,10 @@ def test_tracks_matches_flat_solver():
 
 def test_tracks_recovers_at_scale():
     """N=10k landmarks, M=128 poses on one device — the flat solver's
-    (N, M, 6, 3) Hpl would be 92 GB here; the track layout runs it."""
+    dense (N, M, 6, 3) coupling tensors (~94 MB each, twice, plus the
+    matching scatter temporaries) grow linearly in N*M and die around
+    N~1M; the track layout assembles K x K block pairs instead and
+    runs this in O(N K^2) memory."""
     rng = np.random.RandomState(2)
     m, n, k = 128, 10240, 4
     poses_gt, lms_gt, prob = _synthetic_tracks(m, n, k)

@@ -182,13 +182,13 @@ def ba_solve(p: BAProblem, *, iters: int = 10, huber: float = 4.0,
     ``ba_solve_tracks`` (the production path).
 
     Memory is quadratic-ish: the Schur assembly materialises an
-    (N, M, 6, 3) pose-landmark coupling tensor. At a sliding window's
-    scale (M <= ~16, N <= ~2k) that is a few MB; at map scale (N = 10k,
-    M = 128) it is ~9 GB and at N = 100k it would be 92 GB — use
-    ``ba_solve_tracks``, which assembles per-landmark K x K block pairs
-    and shards over landmarks, for anything beyond a window. A guard
-    below refuses the obviously-fatal regime rather than letting the
-    allocator die.
+    (N, M, 6, 3) pose-landmark coupling tensor (72 N M bytes, twice). At
+    a sliding window's scale (M <= ~16, N <= ~2k) that is a few MB; at
+    N = 100k landmarks x M = 128 poses it is ~1 GB per copy and at
+    N = 1M it is fatal — use ``ba_solve_tracks``, which assembles
+    per-landmark K x K block pairs and shards over landmarks, for
+    anything beyond a window. A guard below refuses the obviously-fatal
+    regime rather than letting the allocator die.
 
     Returns (refined problem, (iters,) costs). With ``mesh`` given, the
     observation arrays must be shardable along ``axis`` (O divisible by
