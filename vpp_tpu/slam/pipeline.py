@@ -104,6 +104,11 @@ class SlamConfig:
     #                                    corrections exactly there)
     lc_dcs_c: float = 0.3              # DCS kernel scale (SE3 units) for
     #                                    robust closure reweighting
+    lc_vote_range: float = 1.2         # consensus-vote span (scene units):
+    #                                    the translation-correction
+    #                                    histogram covers ±this; set to the
+    #                                    largest drift a closure should
+    #                                    recover from
     pose_graph_iters: int = 8
     min_tracked: int = 10              # live-landmark PnP starvation gate
     tracker: VideoExtruderConfig = dataclasses.field(
@@ -320,8 +325,9 @@ def _map_vote_pnp(X: jax.Array, desc: jax.Array, base: jax.Array,
     energy = jnp.maximum(jnp.sum(jnp.abs(desc), axis=1), 1.0)
     R_wide = 3.0 * cfg.lc_search_radius
     C = 4
-    NB, step = 33, 0.075
-    bmax = step * (NB - 1) / 2.0
+    NB = 33
+    bmax = float(cfg.lc_vote_range)
+    step = 2.0 * bmax / (NB - 1)
 
     def vote_round(Tp):
         pred = project(Tp[None], X, intr)                    # (A, 2)
