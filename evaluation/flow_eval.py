@@ -151,9 +151,31 @@ def evaluate_pair(a1, a2, gt_u, gt_v, valid, *, nscales=3, winsize=9,
         x, y, nscales=nscales, winsize=winsize, patchsize=patchsize,
         propagation=propagation))
     flow, dist = jax.block_until_ready(f(i1, i2))
-    t0 = time.perf_counter()
-    flow, dist = jax.block_until_ready(f(i1, i2))
-    ms = (time.perf_counter() - t0) * 1e3
+
+    # runtime: N iterations under one lax.scan with per-iteration-varying
+    # input (a single dispatch costs ~25 ms through the axon tunnel and
+    # would drown the kernel time; an invariant input would let XLA hoist
+    # the whole flow out of the loop)
+    n_rep = 40
+    from vpp_tpu.core.image import Image2d
+
+    @jax.jit
+    def timed(c):
+        def step(c, i):
+            fl, _ = dense_optical_flow(
+                Image2d(data=i1.data + c * 1e-30 + i * 1e-30, border=b),
+                i2, nscales=nscales, winsize=winsize,
+                patchsize=patchsize, propagation=propagation)
+            return c + fl.sum() * 1e-30, None
+        c, _ = jax.lax.scan(step, c, jnp.arange(n_rep))
+        return c
+    jax.block_until_ready(timed(jnp.float32(0)))
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(timed(jnp.float32(0)))
+        ts.append(time.perf_counter() - t0)
+    ms = sorted(ts)[1] / n_rep * 1e3
     flow = np.asarray(flow)
     gh, gw = flow.shape[:2]
     # downsample gt to the patch grid (cell centres)
@@ -172,6 +194,8 @@ def main():
     ap.add_argument("--kitti", default=None,
                     help="KITTI flow dir with image_2/ + flow_noc/")
     ap.add_argument("--pairs", type=int, default=4)
+    ap.add_argument("--save", default=None,
+                    help="write the per-sequence + summary stats as JSON")
     args = ap.parse_args()
 
     all_stats = []
@@ -196,12 +220,17 @@ def main():
             print(json.dumps(s))
             all_stats.append(s)
 
-    print(json.dumps({
+    summary = {
         "summary": True,
         "aepe": round(float(np.mean([s["aepe"] for s in all_stats])), 3),
         "fl_pct": round(float(np.mean([s["fl"] for s in all_stats])), 2),
         "ms": round(float(np.mean([s["ms"] for s in all_stats])), 2),
-    }))
+    }
+    print(json.dumps(summary))
+    if args.save:
+        with open(args.save, "w") as f:
+            json.dump({"sequences": all_stats, "summary": summary}, f,
+                      indent=1)
 
 
 if __name__ == "__main__":
