@@ -129,7 +129,7 @@ def sharded_semi_dense_flow(
         frame1: jax.Array, frame2: jax.Array, *,
         winsize: int = 7, nscales: int = 4, propagation: int = 2,
         patchsize: int = 5, search_niters: int = 5, axis: str = "sp",
-        refine_radius: int = 2,
+        refine_radius: int = 1,
         ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Column-sharded ``semi_dense_optical_flow``.
 
@@ -323,7 +323,7 @@ def _sharded_update_program(mesh: Mesh, axis: str,
         f"shard width {wl} must be divisible by keypoint_spacing {bs}")
     inner, geom = _flow_locals(mesh, axis, shape, cfg.winsize,
                                cfg.nscales, cfg.propagation,
-                               cfg.patchsize, 5, 2)
+                               cfg.patchsize, 5, 1)
     halo, border = geom["halo"], geom["border"]
     nbr, nbc_l = -(-h0 // bs), wl // bs
     nb = nbr * nbc_l * n                      # global candidate count

@@ -389,8 +389,13 @@ def _map_vote_pnp(X: jax.Array, desc: jax.Array, base: jax.Array,
             best = jnp.minimum(best, jnp.sum(jnp.abs(q - desc), axis=1))
     inl = inl & (best < 2.0 * cfg.lc_appearance_gate * energy)
 
-    T1, err = pnp_gn(T, X, uv1, inl, intr,
-                     iters=cfg.pnp_iters, huber=cfg.ba_huber)
+    T1, _ = pnp_gn(T, X, uv1, inl, intr,
+                   iters=cfg.pnp_iters, huber=cfg.ba_huber)
+    # annealed polish on the SAME pair set (re-associating at a tight
+    # radius here measurably dragged the pose back toward feature-spacing
+    # aliases — see the stage-1 docstring)
+    T1, err = pnp_gn(T1, X, uv1, inl, intr,
+                     iters=cfg.pnp_iters, huber=cfg.ba_huber / 2)
     q_n = posf.shape[0]
     seen = jnp.zeros((q_n,), bool).at[
         jnp.where(inl, j1, q_n)].max(True, mode="drop")
