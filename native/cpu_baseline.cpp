@@ -328,6 +328,65 @@ extern "C" double tracker_fps(int w, int h, int nframes, int seed) {
   return nframes / secs;
 }
 
+// BASELINE config 2: FAST-9 + LBP descriptors on a 3-level pyramid,
+// measured ms/frame on this machine (OpenMP + auto-vectorised row loops,
+// like the reference's lbp_transform.hh / fast.hpp drivers).
+extern "C" double fastlbp_ms(int w, int h, int iters, int seed) {
+  Img lv0, lv1, lv2;
+  lv0.init(h, w, 3);
+  lv1.init(1 + h / 2, 1 + w / 2, 3);
+  lv2.init(1 + lv1.h / 2, 1 + lv1.w / 2, 3);
+  uint32_t st = (uint32_t)seed * 2654435761u + 12345u;
+  for (int r = 0; r < h; r++) {
+    uint8_t* p = lv0.row(r);
+    for (int c = 0; c < w; c++) {
+      st = st * 1664525u + 1013904223u;
+      p[c] = (uint8_t)(st >> 24);
+    }
+  }
+  lv0.mirror_border();
+  volatile long long sink = 0;
+  auto run_once = [&]() {
+    long long acc = 0;
+    lowpass_subsample2(lv0, lv1);
+    lowpass_subsample2(lv1, lv2);
+    const Img* lv[3] = {&lv0, &lv1, &lv2};
+    for (int s_ = 0; s_ < 3; s_++) {
+      const Img& im = *lv[s_];
+      // FAST9 detect + score
+#pragma omp parallel for reduction(+ : acc) schedule(static)
+      for (int r = 3; r < im.h - 3; r++)
+        for (int c = 3; c < im.w - 3; c++)
+          if (fast9_is_kp(im, r, c, 10)) acc += fast9_score_at(im, r, c, 10);
+      // LBP descriptor image (8-neighbour code)
+#pragma omp parallel for reduction(+ : acc) schedule(static)
+      for (int r = 0; r < im.h; r++) {
+        const uint8_t* pm = im.row(r - 1);
+        const uint8_t* p0 = im.row(r);
+        const uint8_t* pp = im.row(r + 1);
+        for (int c = 0; c < im.w; c++) {
+          uint8_t v = p0[c];
+          unsigned code = (unsigned)(pm[c - 1] > v) | ((unsigned)(pm[c] > v) << 1) |
+                          ((unsigned)(pm[c + 1] > v) << 2) |
+                          ((unsigned)(p0[c - 1] > v) << 3) |
+                          ((unsigned)(p0[c + 1] > v) << 4) |
+                          ((unsigned)(pp[c - 1] > v) << 5) |
+                          ((unsigned)(pp[c] > v) << 6) |
+                          ((unsigned)(pp[c + 1] > v) << 7);
+          acc += (long long)code;
+        }
+      }
+    }
+    sink += acc;
+  };
+  run_once();  // warm caches/threads
+  auto t0 = std::chrono::steady_clock::now();
+  for (int i = 0; i < iters; i++) run_once();
+  auto t1 = std::chrono::steady_clock::now();
+  (void)sink;
+  return std::chrono::duration<double, std::milli>(t1 - t0).count() / iters;
+}
+
 extern "C" int tracker_selfcheck(int w, int h) {
   // minimal sanity: run 6 frames, report live keypoints (>0 expected)
   (void)tracker_fps(w, h, 6, 0);
