@@ -231,3 +231,22 @@ def test_fast9_blockwise_matches_filter_plus_select():
             zip(np.asarray(pos2), np.asarray(score2), np.asarray(valid2))
             if v}
     assert got == want
+
+
+def test_chamfer_doubling_equals_sweeps_bitwise():
+    """The TPU-native log-doubling chamfer must equal the reference-shaped
+    two-raster-sweep recurrence BITWISE (all values are small integers in
+    f32) for every metric instance."""
+    from vpp_tpu.algorithms.distance_transform import (
+        chamfer_distance_transform)
+    rng = np.random.RandomState(3)
+    for metric in ("d4", "d8", "d3_4", "d5_7_11"):
+        for shape, p in (((37, 53), 0.01), ((7, 90), 0.02)):
+            m = rng.rand(*shape) < p
+            if not m.any():
+                m[3, 5] = True
+            a = chamfer_distance_transform(jnp.asarray(m), metric,
+                                           method="sweeps")
+            b = chamfer_distance_transform(jnp.asarray(m), metric,
+                                           method="doubling")
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
