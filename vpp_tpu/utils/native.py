@@ -20,9 +20,17 @@ _NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
 
 def build_native(name: str = "cpu_baseline",
                  out: str = "libvppcpu.so") -> Optional[Path]:
+    """Build (or reuse) the native library. Staleness is decided by a
+    CONTENT hash of the source stored next to the lib — mtimes lie
+    (checkouts, stashes and copies all reset them; an mtime check once
+    served a stale .so missing a freshly added symbol)."""
+    import hashlib
     src = _NATIVE_DIR / f"{name}.cpp"
     lib = _NATIVE_DIR / out
-    if lib.exists() and lib.stat().st_mtime >= src.stat().st_mtime:
+    tag = _NATIVE_DIR / f"{out}.srchash"
+    digest = hashlib.sha256(src.read_bytes()).hexdigest()
+    if (lib.exists() and tag.exists()
+            and tag.read_text().strip() == digest):
         return lib
     cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
            "-o", str(lib), str(src)]
@@ -30,6 +38,7 @@ def build_native(name: str = "cpu_baseline",
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
     except Exception:
         return None
+    tag.write_text(digest)
     return lib
 
 
