@@ -8,5 +8,8 @@
 # The suite is XLA-compile-bound; pytest-xdist across the host cores
 # overlaps compiles of independent test files. Pass -n 0 to force a
 # serial run.
-exec env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+# VPP_FULL_TESTS=1: include the full-size sharded-vs-single-device
+# bit-exactness run (~37 s) — the strongest multi-device correctness
+# evidence belongs in the default suite.
+exec env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu VPP_FULL_TESTS=1 \
     python -m pytest tests/ -n "$(nproc)" "$@"

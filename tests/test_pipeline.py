@@ -84,11 +84,12 @@ def test_slam_relocalizes():
     k = 24
     frame = from_array(jnp.asarray(frames[k]), border=b,
                        border_mode="mirror")
-    T, err = jax.jit(lambda s, f: relocalize(s, f, cfg))(state, frame)
+    T, err, n = jax.jit(lambda s, f: relocalize(s, f, cfg))(state, frame)
     # err is the UNTRIMMED mean |residual| over the consensus pairs — a
     # handful of aliased pairs (identical-blob scene) dominate it; the
     # pose gate below is the meaningful acceptance criterion
     assert float(err) < 2.5, float(err)
+    assert int(n) >= cfg.lc_min_inliers, int(n)
     c_est = -np.asarray(T)[:3, :3].T @ np.asarray(T)[:3, 3]
     T_gt = poses_gt[k]
     c_gt = -T_gt[:3, :3].T @ T_gt[:3, 3]

@@ -121,6 +121,42 @@ def test_flow_halo_covers_reach():
     assert hc >= 5 * 7 + 9 + 2 * 5 * 7
 
 
+def test_conservative_halo_auto_selected_outside_envelope():
+    """The default (non-conservative) halo is validated only for
+    nscales <= 3, propagation <= 2; outside that envelope _flow_locals
+    must auto-switch to the conservative sizing so exactness cannot
+    silently degrade (round-4 advisor finding)."""
+    from vpp_tpu.parallel.sharded_tracker import (_flow_locals,
+                                                  needs_conservative_halo)
+
+    assert not needs_conservative_halo(3, 2)
+    assert needs_conservative_halo(4, 2)
+    assert needs_conservative_halo(3, 3)
+    # geometry check: a deep-pyramid program really gets the wider halo
+    mesh = _mesh()
+    _, geom = _flow_locals(mesh, "sp", (64, 640), 7, 4, 2, 5, 3, 1)
+    assert geom["halo"] == flow_halo(7, 4, 5, 2, 3, conservative=True)
+    _, geom3 = _flow_locals(mesh, "sp", (64, 320), 7, 3, 2, 5, 3, 1)
+    assert geom3["halo"] == flow_halo(7, 3, 5, 2, 3)
+
+
+def test_sharded_flow_allgather_fallback_matches():
+    """Narrow shards (halo > shard width) take the all-gather + slice
+    fallback in extend(); that branch must stay bit-exact too. W=160 on
+    8 devices -> wl=20 < halo=40 for the nscales=2 config."""
+    h, w = 48, 160
+    halo = flow_halo(WINSIZE, NSCALES, PATCH, 2, SN)
+    assert halo > w // 8          # really the fallback branch
+    f1, f2 = _scene((2, -1), seed=9, h=h, w=w)
+    n = 48
+    rng = np.random.RandomState(2)
+    pts = np.stack([rng.randint(8, h - 8, n),
+                    rng.randint(40, w - 56, n)], -1).astype(np.float32)
+    val = jnp.ones((n,), bool)
+    _assert_equivalent(jnp.asarray(pts), val, f1, f2, KW,
+                       expect_flow=[-2.0, 1.0])
+
+
 @pytest.mark.skipif(not FULL, reason="set VPP_FULL_TESTS=1 for the "
                     "full-size all-gather-fallback equivalence run")
 def test_sharded_flow_matches_single_device_full():

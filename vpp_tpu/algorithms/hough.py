@@ -160,12 +160,24 @@ def hough_peaks(acc: jax.Array, m: int, *,
                       valid=v > acc_threshold)
 
 
+def _fold_seam(acc: jax.Array) -> jax.Array:
+    """Merge the duplicate θ seam rows: rows 0 and t_theta-1 both map to
+    θ=0/π — the SAME line family with ρ mirrored (``accumulator_to_lines``
+    puts the π bin at t_theta-1) — and bilinear voting splits a seam
+    line's mass between the two representations (a vertical edge votes
+    half its pixels at θ≈0, half at θ≈π). Fold the full mass into both
+    rows so NMS and vote readout see the line's total support."""
+    seam = acc[0] + acc[-1, ::-1]
+    return acc.at[0].set(seam).at[-1].set(seam[::-1])
+
+
 def _local_maxima_mask(acc: jax.Array, nms_theta: int, nms_rho: int,
                        threshold: float) -> jax.Array:
     """(t_theta, rho_bins) bool: cell is >= everything in its
     (2·nms_theta+1, 2·nms_rho+1) neighbourhood (θ wraps) and above
     ``threshold`` — the dense form of the reference's suppress loop
-    (Kmeans body: the ±15 θ / ±12 ρ comparison sweep)."""
+    (Kmeans body: the ±15 θ / ±12 ρ comparison sweep). Seam peaks
+    (θ=0/π) report at row 0 with their folded (full) vote mass."""
     t_theta = acc.shape[0]
     # θ wrap: θ ± π names the same line with ρ negated, and the ρ binning
     # is affine-symmetric about the centre bin — so the circularly-padded
@@ -174,14 +186,25 @@ def _local_maxima_mask(acc: jax.Array, nms_theta: int, nms_rho: int,
     # instead treats out-of-range θ as empty, which can double-report
     # near-vertical lines; plain same-ρ wrapping — the round-3 behaviour
     # — compared unrelated cells and could wrongly suppress them.)
-    a = jnp.concatenate([acc[-nms_theta:, ::-1], acc,
-                         acc[:nms_theta, ::-1]], axis=0)
+    # The wrap period is t_theta-1, NOT t_theta: rows 0 and t_theta-1 are
+    # the same line family (see _fold_seam). The slab adjacent to row 0
+    # is therefore rows -nms_theta-1..-2 (excluding the duplicate last
+    # row), and the slab after row t_theta-1 is rows 1..nms_theta
+    # (excluding the duplicate row 0) — otherwise each seam window
+    # covered only ±(nms_theta-1) distinct θ bins.
+    accf = _fold_seam(acc)
+    a = jnp.concatenate([accf[-nms_theta - 1:-1, ::-1], accf,
+                         accf[1:nms_theta + 1, ::-1]], axis=0)
     a = jnp.pad(a, ((0, 0), (nms_rho, nms_rho)), constant_values=_NEG)
     pooled = jax.lax.reduce_window(
         a, _NEG, jax.lax.max,
         window_dimensions=(2 * nms_theta + 1, 2 * nms_rho + 1),
         window_strides=(1, 1), padding="valid")
-    return (acc >= pooled) & (acc > threshold)
+    keep = (accf >= pooled) & (accf > threshold)
+    # after folding, row t_theta-1 is an exact mirrored duplicate of
+    # row 0 (any keep there has an identical keep at row 0) — report
+    # seam peaks at row 0 only
+    return keep.at[-1].set(False)
 
 
 def hough_peaks_clustered(acc: jax.Array, k: int, *, nms_theta: int = 15,
@@ -191,10 +214,11 @@ def hough_peaks_clustered(acc: jax.Array, k: int, *, nms_theta: int = 15,
     capability, dense_one_to_one_hough.hh:29-31): keep cells that dominate
     their (±nms_theta, ±nms_rho) neighbourhood above ``threshold``, then
     return the k strongest, votes descending. One max-pool + one top-k —
-    no greedy suppression loop."""
+    no greedy suppression loop. A θ=0/π seam line reports once (at the
+    θ=0 row) with its FULL folded vote mass (see ``_fold_seam``)."""
     rho_bins = acc.shape[1]
     keep = _local_maxima_mask(acc, nms_theta, nms_rho, threshold)
-    vals = jnp.where(keep, acc, 0.0)
+    vals = jnp.where(keep, _fold_seam(acc), 0.0)
     v, flat = jax.lax.top_k(vals.reshape(-1), k)
     return HoughLines(theta_idx=(flat // rho_bins).astype(jnp.int32),
                       rho_idx=(flat % rho_bins).astype(jnp.int32),

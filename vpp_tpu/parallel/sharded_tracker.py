@@ -77,6 +77,16 @@ def flow_halo(winsize: int, nscales: int, patchsize: int,
     return unit * -(-need // unit)
 
 
+def needs_conservative_halo(nscales: int, propagation: int) -> bool:
+    """True outside the empirically-pinned default-halo envelope
+    (``flow_halo`` docstring): the bit-exactness suite validates the
+    one-finest-cell propagation-travel sizing only for nscales <= 3,
+    propagation <= 2. ``_flow_locals`` auto-switches to the conservative
+    (worst-case-travel) halo beyond it, so no caller can silently lose
+    exactness by picking a deeper pyramid or more sweeps."""
+    return nscales > 3 or propagation > 2
+
+
 def _halo_exchange_open(local: jax.Array, halo: int, axis: str,
                         fill_left, fill_right) -> jax.Array:
     """Ring-exchange ``halo`` columns; the outermost shards replace the
@@ -165,7 +175,9 @@ def _flow_locals(mesh: Mesh, axis: str, shape: Tuple[int, int],
     wl = w0 // n
     border = max(3, winsize)
     halo = flow_halo(winsize, nscales, patchsize, propagation,
-                     search_niters)
+                     search_niters,
+                     conservative=needs_conservative_halo(nscales,
+                                                          propagation))
     assert wl % (patchsize * 2 ** (nscales - 1)) == 0, (
         f"shard width {wl} must be divisible by "
         f"{patchsize * 2 ** (nscales - 1)}")

@@ -358,8 +358,16 @@ def _map_vote_pnp(X: jax.Array, desc: jax.Array, base: jax.Array,
         sm = sum(vp[i:i + NB, jj:jj + NB]
                  for i in range(3) for jj in range(3))
         pk = jnp.argmax(sm.reshape(-1))
-        tx0 = (pk % NB).astype(jnp.float32) * step - bmax
-        ty0 = (pk // NB).astype(jnp.float32) * step - bmax
+        # zero eligible votes: the all-zero histogram's argmax is bin 0 =
+        # (-lc_vote_range, -lc_vote_range), which would shift the prior
+        # pose by that every round — keep dt = 0 instead (pairs stay
+        # empty, so downstream inl is all-False and the PnP keeps the
+        # prior; callers gate on the returned inlier count)
+        any_votes = sm.reshape(-1)[pk] > 0
+        tx0 = jnp.where(any_votes,
+                        (pk % NB).astype(jnp.float32) * step - bmax, 0.0)
+        ty0 = jnp.where(any_votes,
+                        (pk // NB).astype(jnp.float32) * step - bmax, 0.0)
         dd = jnp.where(m, (txc - tx0) ** 2 + (tyc - ty0) ** 2, _HUGE)
         return Tp.at[0, 3].add(tx0).at[1, 3].add(ty0), js, cand_uv, dd
 
@@ -773,17 +781,22 @@ def slam_run(frames: jax.Array, cfg: SlamConfig,
 # ---------------------------------------------------------------------------
 
 def relocalize(state: SlamState, frame: Image2d, cfg: SlamConfig,
-               detect_th: int = 10) -> Tuple[jax.Array, jax.Array]:
+               detect_th: int = 10
+               ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Recover the camera pose of ``frame`` from the LIVE map alone (the
     briefly-lost-tracking scenario). Same map-agnostic routine as the
     archive recovery/loop-closure path (``_map_vote_pnp``): iterated
     translation-consensus voting over FAST detections, then Huber GN PnP
     on the appearance-gated peak-consistent pairs.
 
-    Returns (pose (4, 4), mean reprojection error of the matches). The
-    map's descriptors carry its most recent appearance, so this recovers
-    poses near the current keyframe; long-absence relocalization would
-    need viewpoint-invariant descriptors (future work)."""
+    Returns (pose (4, 4), mean reprojection error of the matches, number
+    of distinct inlier detections). Gate on the count: with zero eligible
+    matches the pose is simply the prior keyframe pose and the error
+    reads 0 — ``n >= cfg.lc_min_inliers`` is the acceptance test the
+    archive-recovery path uses. The map's descriptors carry its most
+    recent appearance, so this recovers poses near the current keyframe;
+    long-absence relocalization would need viewpoint-invariant
+    descriptors (future work)."""
     from ..algorithms.fast import fast9
 
     intr = jnp.asarray(cfg.intrinsics, jnp.float32)
@@ -793,9 +806,9 @@ def relocalize(state: SlamState, frame: Image2d, cfg: SlamConfig,
     colp = jnp.where(state.n_keyframes > 0,
                      (state.n_keyframes - 1) % cfg.ring, 0)
     T_prior = state.kf_pose[colp]
-    T, err, _n = _map_vote_pnp(state.lm_X, state.lm_desc, state.lm_valid,
-                               pos, valid, frame, cfg, T_prior, intr)
-    return T, err
+    T, err, n = _map_vote_pnp(state.lm_X, state.lm_desc, state.lm_valid,
+                              pos, valid, frame, cfg, T_prior, intr)
+    return T, err, n
 
 
 def keyframe_trajectory(state: SlamState) -> Tuple[jax.Array, jax.Array]:
