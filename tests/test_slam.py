@@ -150,3 +150,49 @@ def test_checkpoint_roundtrip(tmp_path):
                                np.asarray(prob.obs_uv))
     np.testing.assert_allclose(np.asarray(restored.poses),
                                np.asarray(prob.poses))
+
+
+def test_analytic_jacobians_match_ad_oracle():
+    """proj_jacobians (the analytic keyframe hot path) must equal the
+    jacfwd-through-se3_exp formulation it replaced, and triangulate_ls
+    must agree with the SVD DLT on finite-depth points."""
+    from vpp_tpu.slam.ba import (BATracks, _track_jacobians,
+                                 _track_jacobians_ad)
+    from vpp_tpu.algorithms.geometry import (_triangulate_one,
+                                             triangulate_ls)
+    rng = np.random.RandomState(7)
+    n, k, m = 24, 4, 5
+    poses = jax.vmap(se3_exp)(jnp.asarray(rng.randn(m, 6) * 0.1,
+                                          jnp.float32))
+    p = BATracks(
+        poses=poses,
+        landmarks=jnp.asarray(rng.rand(n, 3) * 4 + [-2, -2, 4],
+                              jnp.float32),
+        obs_pose=jnp.asarray(rng.randint(0, m, (n, k)), jnp.int32),
+        obs_uv=jnp.asarray(rng.rand(n, k, 2) * 300, jnp.float32),
+        obs_valid=jnp.asarray(rng.rand(n, k) > 0.3),
+        intrinsics=jnp.asarray([300.0, 300.0, 160.0, 120.0]),
+        fixed_poses=jnp.zeros((m,), bool))
+    r_a, Jp_a, Jl_a = _track_jacobians(p)
+    r_o, Jp_o, Jl_o = _track_jacobians_ad(p)
+    np.testing.assert_allclose(np.asarray(r_a), np.asarray(r_o),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(Jp_a), np.asarray(Jp_o),
+                               rtol=1e-3, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(Jl_a), np.asarray(Jl_o),
+                               rtol=1e-3, atol=1e-2)
+
+    P1 = jnp.asarray(rng.rand(3, 4), jnp.float32)
+    P2 = jnp.asarray(rng.rand(3, 4), jnp.float32)
+    X_gt = jnp.asarray(rng.rand(16, 3) * 2 + [0, 0, 4], jnp.float32)
+    Xh = jnp.concatenate([X_gt, jnp.ones((16, 1))], 1)
+    x1 = (Xh @ P1.T)
+    x1 = x1[:, :2] / x1[:, 2:3]
+    x2 = (Xh @ P2.T)
+    x2 = x2[:, :2] / x2[:, 2:3]
+    X_svd = jax.vmap(lambda a, b: _triangulate_one(P1, P2, a, b))(x1, x2)
+    X_ls = triangulate_ls(P1, P2, x1, x2)
+    np.testing.assert_allclose(np.asarray(X_ls), np.asarray(X_svd),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(X_ls), np.asarray(X_gt),
+                               rtol=1e-3, atol=1e-3)

@@ -126,3 +126,40 @@ def test_tracks_masked_slots_ignored():
     prob2 = prob._replace(obs_uv=bad_uv, obs_valid=valid)
     solved, costs = ba_solve_tracks(prob2, iters=3)
     assert float(costs[-1]) < 1e-3
+
+
+def test_ring_layout_matches_generic():
+    """ba_solve_tracks(ring_layout=True) — the scatter-free sliding
+    window fast path — must equal the generic scatter-add assembly on a
+    ring problem (obs_pose[n, j] == j)."""
+    rng = np.random.RandomState(4)
+    m = 6
+    n = 64
+    intr = jnp.array([300.0, 300.0, 160.0, 120.0])
+    steps = [np.eye(4, dtype=np.float32)]
+    for i in range(1, m):
+        xi = np.zeros(6, np.float32)
+        xi[3] = -0.2
+        steps.append(np.asarray(
+            se3_exp(jnp.asarray(xi)) @ jnp.asarray(steps[-1])))
+    poses_gt = jnp.asarray(np.stack(steps))
+    lms_gt = jnp.asarray(rng.rand(n, 3) * 2 + [-1.0, -1.0, 3.0],
+                         jnp.float32)
+    obs_pose = jnp.broadcast_to(jnp.arange(m)[None], (n, m)).astype(
+        jnp.int32)
+    uv = project(poses_gt[obs_pose], lms_gt[:, None], intr)
+    prob = BATracks(
+        poses=poses_gt,
+        landmarks=lms_gt + jnp.asarray(rng.randn(n, 3) * 0.02,
+                                       jnp.float32),
+        obs_pose=obs_pose, obs_uv=uv,
+        obs_valid=jnp.asarray(rng.rand(n, m) > 0.3),
+        intrinsics=intr,
+        fixed_poses=jnp.zeros((m,), bool).at[0].set(True).at[1].set(True))
+    s1, c1 = ba_solve_tracks(prob, iters=4, lam0=1e-4)
+    s2, c2 = ba_solve_tracks(prob, iters=4, lam0=1e-4, ring_layout=True)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(s1.poses), np.asarray(s2.poses),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s1.landmarks),
+                               np.asarray(s2.landmarks), atol=1e-5)

@@ -63,6 +63,32 @@ def _triangulate_one(P1: jax.Array, P2: jax.Array, x1: jax.Array,
     return X[:3] / w
 
 
+def triangulate_ls(P1: jax.Array, P2: jax.Array, x1: jax.Array,
+                   x2: jax.Array) -> jax.Array:
+    """Batched 2-view DLT in INHOMOGENEOUS form: the same 4 DLT rows as
+    ``_triangulate_one`` but solved as A[:, :3] X = -A[:, 3] via 3x3
+    normal equations — one batched elementwise-inverted solve for the
+    whole landmark set instead of N vmapped 4x4 SVDs (the SLAM keyframe
+    hot path; SVD stays the oracle for points near infinity, where the
+    inhomogeneous form degrades — SLAM landmarks are depth-gated anyway).
+
+    P1/P2: (N, 3, 4) or (3, 4); x1/x2: (N, 2) pixel (x=col, y=row).
+    """
+    from ..slam.ba import _inv3
+    P1 = jnp.broadcast_to(P1, x1.shape[:1] + (3, 4))
+    P2 = jnp.broadcast_to(P2, x2.shape[:1] + (3, 4))
+    rows = jnp.stack([
+        x1[:, 0, None] * P1[:, 2] - P1[:, 0],
+        x1[:, 1, None] * P1[:, 2] - P1[:, 1],
+        x2[:, 0, None] * P2[:, 2] - P2[:, 0],
+        x2[:, 1, None] * P2[:, 2] - P2[:, 1]], axis=1)     # (N, 4, 4)
+    A = rows[:, :, :3]
+    b = -rows[:, :, 3]
+    AtA = jnp.einsum("nei,nej->nij", A, A) + 1e-9 * jnp.eye(3)
+    Atb = jnp.einsum("nei,ne->ni", A, b)
+    return jnp.einsum("nij,nj->ni", _inv3(AtA), Atb)
+
+
 def triangulate(P1: jax.Array, P2: jax.Array, x1: jax.Array,
                 x2: jax.Array) -> jax.Array:
     """Triangulate correspondences x1 <-> x2 ((N, 2) pixel coords in view

@@ -38,9 +38,89 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .se3 import se3_apply, se3_exp
+from .se3 import _hat, se3_apply, se3_exp
 
 _HUGE = np.float32(1e30)
+
+
+def _inv3(A: jax.Array) -> jax.Array:
+    """Batched SPD 3x3 inverse via closed-form Cholesky — pure
+    elementwise arithmetic (batched ``jnp.linalg.inv`` lowers to an LU
+    per matrix, which TPUs execute poorly at (N, 3, 3) scale).
+
+    Used where downstream gates catch the rare tail-case bad inverse
+    (triangulation: depth + reprojection acceptance). NOT used inside
+    the LM solvers: there a single bad Hll inverse among 10k landmarks
+    poisons the cost sum and stalls convergence (measured on the N=10k
+    scale test — median accuracy 1e-6 but the cond>1e9 tail is ~4x
+    worse than LU; a Newton-Schulz refinement diverges on exactly those
+    blocks). Callers must damp A so it is SPD.
+    """
+    dg = jnp.stack([A[..., 0, 0], A[..., 1, 1], A[..., 2, 2]], -1)
+    s = jax.lax.rsqrt(jnp.maximum(jnp.abs(dg), 1e-30))
+    A = A * s[..., :, None] * s[..., None, :]
+    a11, a21, a31 = A[..., 0, 0], A[..., 1, 0], A[..., 2, 0]
+    a22, a32, a33 = A[..., 1, 1], A[..., 2, 1], A[..., 2, 2]
+    tiny = 1e-30
+    l11 = jnp.sqrt(jnp.maximum(a11, tiny))
+    il11 = 1.0 / l11
+    l21 = a21 * il11
+    l31 = a31 * il11
+    l22 = jnp.sqrt(jnp.maximum(a22 - l21 * l21, tiny))
+    il22 = 1.0 / l22
+    l32 = (a32 - l31 * l21) * il22
+    l33 = jnp.sqrt(jnp.maximum(a33 - l31 * l31 - l32 * l32, tiny))
+    il33 = 1.0 / l33
+    # inv(L), lower triangular
+    m11 = il11
+    m21 = -l21 * il11 * il22
+    m31 = (l21 * l32 - l31 * l22) * il11 * il22 * il33
+    m22 = il22
+    m32 = -l32 * il22 * il33
+    m33 = il33
+    # A^-1 = inv(L)^T inv(L), symmetric
+    i11 = m11 * m11 + m21 * m21 + m31 * m31
+    i12 = m21 * m22 + m31 * m32
+    i13 = m31 * m33
+    i22 = m22 * m22 + m32 * m32
+    i23 = m32 * m33
+    i33 = m33 * m33
+    inv = jnp.stack([
+        jnp.stack([i11, i12, i13], -1),
+        jnp.stack([i12, i22, i23], -1),
+        jnp.stack([i13, i23, i33], -1)], -2)
+    return inv * s[..., :, None] * s[..., None, :]
+
+
+def proj_jacobians(T: jax.Array, X: jax.Array, intr: jax.Array
+                   ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Analytic per-observation projection Jacobians.
+
+    Returns (pred (..., 2) = (row, col) projection, Jp (..., 2, 6) wrt
+    the left-multiplied pose twist [w | v] (the ``se3_exp(δ) @ T``
+    retraction), Jl (..., 2, 3) wrt the world point).
+
+    Identical math to differentiating ``project`` with ``jacfwd`` (the
+    round-1..4 path, kept as the oracle in tests) but ~10x fewer HLOs:
+    for pc = T·X, d pc/d[w|v] = [-[pc]x | I] and d pc/dX = R.
+    """
+    pc = se3_apply(T, X)
+    z = jnp.where(jnp.abs(pc[..., 2]) < 1e-6, 1e-6, pc[..., 2])
+    iz = 1.0 / z
+    u = intr[0] * pc[..., 0] * iz + intr[2]
+    v = intr[1] * pc[..., 1] * iz + intr[3]
+    pred = jnp.stack([v, u], -1)
+    zero = jnp.zeros_like(iz)
+    du = jnp.stack([intr[0] * iz, zero,
+                    -intr[0] * pc[..., 0] * iz * iz], -1)
+    dv = jnp.stack([zero, intr[1] * iz,
+                    -intr[1] * pc[..., 1] * iz * iz], -1)
+    dproj = jnp.stack([dv, du], -2)                       # (..., 2, 3)
+    eye = jnp.broadcast_to(jnp.eye(3), pc.shape[:-1] + (3, 3))
+    dpc = jnp.concatenate([-_hat(pc), eye], -1)           # (..., 3, 6)
+    Jp = dproj @ dpc
+    Jl = dproj @ T[..., :3, :3]
+    return pred, Jp, Jl
 
 
 class BAProblem(NamedTuple):
@@ -321,7 +401,18 @@ def track_residuals(p: BATracks) -> jax.Array:
 
 
 def _track_jacobians(p: BATracks):
-    """r (N,K,2), Jp (N,K,2,6) wrt pose twist, Jl (N,K,2,3) wrt landmark."""
+    """r (N,K,2), Jp (N,K,2,6) wrt pose twist, Jl (N,K,2,3) wrt landmark
+    — analytic (``proj_jacobians``); the AD formulation below is the
+    cross-check oracle (tests/test_slam.py pins their agreement)."""
+    T = p.poses[p.obs_pose]
+    X = jnp.broadcast_to(p.landmarks[:, None, :],
+                         p.obs_uv.shape[:2] + (3,))
+    pred, Jp, Jl = proj_jacobians(T, X, p.intrinsics)
+    return pred - p.obs_uv, Jp, Jl
+
+
+def _track_jacobians_ad(p: BATracks):
+    """jacfwd-through-``se3_exp`` oracle for ``_track_jacobians``."""
     intr = p.intrinsics
     z6 = jnp.zeros((6,), jnp.float32)
     z3 = jnp.zeros((3,), jnp.float32)
@@ -347,7 +438,8 @@ def _tracks_cost(p: BATracks, huber: float) -> jax.Array:
     return jnp.sum(jnp.where(p.obs_valid, w * jnp.sum(r * r, -1), 0.0))
 
 
-def _tracks_assemble(p: BATracks, lam, huber: float):
+def _tracks_assemble(p: BATracks, lam, huber: float,
+                     ring_layout: bool = False):
     """Per-shard normal equations. Returns
     (pose-sized aggregates to psum: S (M,6,M,6), rhs (M,6), cost) and
     (landmark-local: Hll_inv (N,3,3), bl (N,3), U (N,K,6,3), seen (N,)).
@@ -356,7 +448,15 @@ def _tracks_assemble(p: BATracks, lam, huber: float):
     the sharded path, so per-shard ``lam*I`` would be multiplied by the
     axis size. ``_tracks_solve_poses`` adds it once, after the reduction.
     (Landmark damping in Hll_d is safe: landmarks are sharded, each row
-    is assembled exactly once.)"""
+    is assembled exactly once.)
+
+    ``ring_layout``: assert-free fast path for the sliding-window ring
+    problem where ``obs_pose[n, j] == j`` for every row (K == M, the
+    layout ``slam.pipeline`` builds by construction). All the
+    scatter-adds collapse into dense einsum reductions over landmarks —
+    MXU contractions instead of TPU-hostile scatters, and the
+    (N, K, K, 6, 6) pair tensor never materialises.
+    """
     m = p.poses.shape[0]
     r, Jp, Jl = _track_jacobians(p)
     nrm = jnp.linalg.norm(r, axis=-1)
@@ -368,11 +468,6 @@ def _tracks_assemble(p: BATracks, lam, huber: float):
     Hll = jnp.einsum("nkri,nkrj->nij", Jl_w, Jl)          # (N,3,3)
     bl = -jnp.einsum("nkri,nkr->ni", Jl_w, r)             # (N,3)
     U = jnp.einsum("nkri,nkrj->nkij", Jp_w, Jl)           # (N,K,6,3)
-    pose_idx = jnp.where(p.obs_valid, p.obs_pose, 0)      # zero blocks drop
-    Hpp = jnp.zeros((m, 6, 6)).at[pose_idx].add(
-        jnp.einsum("nkri,nkrj->nkij", Jp_w, Jp))
-    bp = jnp.zeros((m, 6)).at[pose_idx].add(
-        -jnp.einsum("nkri,nkr->nki", Jp_w, r))
     cost = jnp.sum(w * jnp.sum(r * r, axis=-1))
 
     seen = jnp.sum(w, axis=1) > 0
@@ -380,18 +475,36 @@ def _tracks_assemble(p: BATracks, lam, huber: float):
     Hll_d = Hll + (lam + 1e-6) * eye3[None]
     Hll_d = jnp.where(seen[:, None, None], Hll_d, eye3[None])
     bl = jnp.where(seen[:, None], bl, 0.0)
+    # LU, not the closed-form _inv3: one tail-case bad inverse among 10k
+    # landmarks poisons the LM cost sum and stalls convergence (measured
+    # on the N=10k scale test); LU's pivoting keeps the tail in check.
     Hll_inv = jnp.linalg.inv(Hll_d)
-
-    # Schur off-diagonal: per landmark, all K x K observation pairs
     W = jnp.einsum("nkij,njc->nkic", U, Hll_inv)          # (N,K,6,3)
-    pair = jnp.einsum("nkij,nlmj->nklim", W, U)           # (N,K,K,6,6)
-    p1 = jnp.broadcast_to(pose_idx[:, :, None], pair.shape[:3])
-    p2 = jnp.broadcast_to(pose_idx[:, None, :], pair.shape[:3])
-    S = jnp.zeros((m, m, 6, 6)).at[p1, p2].add(-pair)
-    S = S.at[jnp.arange(m), jnp.arange(m)].add(Hpp)
-    S = S.transpose(0, 2, 1, 3)                           # (M,6,M,6)
-    rhs = bp - jnp.zeros((m, 6)).at[pose_idx].add(
-        jnp.einsum("nkij,nj->nki", W, bl))
+
+    if ring_layout:
+        # obs_pose[n, j] == j: every aggregate is a plain reduction
+        pose_idx = None
+        Hpp = jnp.einsum("nkri,nkrj->kij", Jp_w, Jp)      # (M,6,6)
+        bp = -jnp.einsum("nkri,nkr->ki", Jp_w, r)
+        S = -jnp.einsum("nkij,nlmj->klim", W, U)          # (M,M,6,6)
+        S = S.at[jnp.arange(m), jnp.arange(m)].add(Hpp)
+        S = S.transpose(0, 2, 1, 3)                       # (M,6,M,6)
+        rhs = bp - jnp.einsum("nkij,nj->ki", W, bl)
+    else:
+        pose_idx = jnp.where(p.obs_valid, p.obs_pose, 0)  # zero blocks drop
+        Hpp = jnp.zeros((m, 6, 6)).at[pose_idx].add(
+            jnp.einsum("nkri,nkrj->nkij", Jp_w, Jp))
+        bp = jnp.zeros((m, 6)).at[pose_idx].add(
+            -jnp.einsum("nkri,nkr->nki", Jp_w, r))
+        # Schur off-diagonal: per landmark, all K x K observation pairs
+        pair = jnp.einsum("nkij,nlmj->nklim", W, U)       # (N,K,K,6,6)
+        p1 = jnp.broadcast_to(pose_idx[:, :, None], pair.shape[:3])
+        p2 = jnp.broadcast_to(pose_idx[:, None, :], pair.shape[:3])
+        S = jnp.zeros((m, m, 6, 6)).at[p1, p2].add(-pair)
+        S = S.at[jnp.arange(m), jnp.arange(m)].add(Hpp)
+        S = S.transpose(0, 2, 1, 3)                       # (M,6,M,6)
+        rhs = bp - jnp.zeros((m, 6)).at[pose_idx].add(
+            jnp.einsum("nkij,nj->nki", W, bl))
     return (S, rhs, cost), (Hll_inv, bl, U, pose_idx, seen)
 
 
@@ -414,13 +527,17 @@ def _tracks_solve_poses(S, rhs, fixed_poses, lam):
 
 def _tracks_backsub(local, dp):
     Hll_inv, bl, U, pose_idx, seen = local
-    Udp = jnp.einsum("nkij,nki->nj", U, dp[pose_idx])     # (N,3)
+    if pose_idx is None:                   # ring layout: obs j <-> pose j
+        Udp = jnp.einsum("nkij,ki->nj", U, dp)            # (N,3)
+    else:
+        Udp = jnp.einsum("nkij,nki->nj", U, dp[pose_idx])
     dl = jnp.einsum("nij,nj->ni", Hll_inv, bl - Udp)
     return jnp.where(seen[:, None], dl, 0.0)
 
 
 def ba_solve_tracks(p: BATracks, *, iters: int = 10, huber: float = 4.0,
-                    lam0: float = 1e-3, mesh=None, axis: str = "lm"
+                    lam0: float = 1e-3, mesh=None, axis: str = "lm",
+                    ring_layout: bool = False
                     ) -> Tuple[BATracks, jax.Array]:
     """Levenberg-Marquardt over a landmark-major problem.
 
@@ -429,10 +546,19 @@ def ba_solve_tracks(p: BATracks, *, iters: int = 10, huber: float = 4.0,
     S/rhs, psum-reduces the pose-sized aggregates over ICI, runs the same
     replicated (6M, 6M) solve, and back-substitutes its own landmarks
     locally. Poses are replicated; landmark state never crosses devices.
+
+    ``ring_layout=True`` promises ``obs_pose[n, j] == j`` (the sliding
+    window ring, K == M) and replaces every scatter-add in the assembly
+    with a dense einsum reduction — see ``_tracks_assemble``.
     """
+    if ring_layout:
+        assert p.obs_pose.shape[1] == p.poses.shape[0], (
+            "ring_layout requires K == M (obs column j observed by "
+            "pose j)")
 
     def step_local(prob: BATracks, lam):
-        (S, rhs, cost), local = _tracks_assemble(prob, lam, huber)
+        (S, rhs, cost), local = _tracks_assemble(prob, lam, huber,
+                                                 ring_layout)
         dp = _tracks_solve_poses(S, rhs, prob.fixed_poses, lam)
         dl = _tracks_backsub(local, dp)
         return dp, dl, cost
@@ -448,7 +574,8 @@ def ba_solve_tracks(p: BATracks, *, iters: int = 10, huber: float = 4.0,
         @partial(shard_map, mesh=mesh, in_specs=(spec, P()),
                  out_specs=(P(), P(axis), P()))
         def sharded_step(prob, lam):
-            (S, rhs, cost), local = _tracks_assemble(prob, lam, huber)
+            (S, rhs, cost), local = _tracks_assemble(prob, lam, huber,
+                                                     ring_layout)
             S = jax.lax.psum(S, axis)
             rhs = jax.lax.psum(rhs, axis)
             cost = jax.lax.psum(cost, axis)

@@ -40,14 +40,14 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ..algorithms.geometry import _triangulate_one
+from ..algorithms.geometry import triangulate_ls
 from ..algorithms.video_extruder import (VideoExtruderConfig,
                                          VideoExtruderState,
                                          video_extruder_init,
                                          video_extruder_update)
 from ..core.image import Image2d, from_array
 from ..core.interp import extract_patches
-from .ba import (BATracks, ba_solve_tracks, project,
+from .ba import (BATracks, ba_solve_tracks, project, proj_jacobians,
                  track_residuals)
 from .se3 import se3_exp, se3_inverse
 
@@ -111,6 +111,15 @@ class SlamConfig:
     #                                    recover from
     pose_graph_iters: int = 8
     min_tracked: int = 10              # live-landmark PnP starvation gate
+    enable_recovery: bool = True       # static: run the archive PnP
+    #                                    (tracking recovery + loop-closure
+    #                                    measurement) every keyframe.
+    #                                    False compiles it out — the
+    #                                    matched "tracking+BA" benchmark
+    #                                    configuration (the reference has
+    #                                    no such machinery to compare
+    #                                    against); archive WRITES remain,
+    #                                    so relocalize() stays usable.
     tracker: VideoExtruderConfig = dataclasses.field(
         default_factory=lambda: VideoExtruderConfig(
             capacity=512, detect_k=256, nscales=3, winsize=9,
@@ -197,15 +206,14 @@ def pnp_gn(T0: jax.Array, X: jax.Array, uv: jax.Array, valid: jax.Array,
     with < 4 valid matches the damped 6x6 system stays near-singular-free
     and the pose simply keeps its prior.
     """
-    z6 = jnp.zeros((6,), jnp.float32)
     nvalid = jnp.maximum(jnp.sum(valid), 1)
 
     def body(T, _):
-        def res(delta):
-            return project(se3_exp(delta) @ T, X, intr) - uv   # (N, 2)
-
-        r = res(z6)
-        J = jax.jacfwd(res)(z6)                                # (N, 2, 6)
+        # analytic Jacobian of the exp(δ)·T retraction (ba.proj_jacobians;
+        # was jacfwd-through-se3_exp — same values, far fewer HLOs on the
+        # keyframe hot path)
+        pred, J, _ = proj_jacobians(T, X, intr)
+        r = pred - uv                                          # (N, 2)
         nrm = jnp.linalg.norm(r, axis=-1)
         w = jnp.where(nrm <= huber, 1.0, huber / jnp.maximum(nrm, 1e-12))
         w = jnp.where(valid, w, 0.0)
@@ -285,10 +293,26 @@ def _projection_matrix(T: jax.Array, intr: jax.Array) -> jax.Array:
     return K @ T[:3]
 
 
+def _det_shift_patches(frame: Image2d, pos: jax.Array,
+                       patch: int) -> jax.Array:
+    """(9, K, patch²) patches around each detection at the 9 ±1-px
+    shifts — the appearance-gate templates of ``_map_vote_pnp``, hoisted
+    so one extraction pass serves every map-PnP call on the frame
+    (recovery + loop closure share the same detections)."""
+    qs = []
+    for drr in (-1, 0, 1):
+        for dcc in (-1, 0, 1):
+            off = jnp.asarray([drr, dcc], jnp.int32)
+            p = extract_patches(frame.data, pos + off[None] + frame.border,
+                                patch)
+            qs.append(p.reshape(-1, patch * patch))
+    return jnp.stack(qs)
+
+
 def _map_vote_pnp(X: jax.Array, desc: jax.Array, base: jax.Array,
                   pos: jax.Array, valid: jax.Array, frame: Image2d,
                   cfg: SlamConfig, T_prior: jax.Array, intr: jax.Array,
-                  *, rounds: int = 2
+                  *, rounds: int = 2, det_patches: jax.Array = None
                   ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Drift-robust PnP of a frame's FAST detections against ANY landmark
     map (``X`` (A, 3) world positions, ``desc`` (A, P²) descriptors,
@@ -386,15 +410,12 @@ def _map_vote_pnp(X: jax.Array, desc: jax.Array, base: jax.Array,
     # appearance mismatches, not arbitrate between near-identical
     # features (a tight gate here measured ~3x fewer inliers with a
     # prior-consistent survivor bias).
+    if det_patches is None:
+        det_patches = _det_shift_patches(frame, pos, cfg.desc_patch)
     best = jnp.full((a_n,), _HUGE)
-    for drr in (-1, 0, 1):
-        for dcc in (-1, 0, 1):
-            off = jnp.asarray([drr, dcc], jnp.int32)
-            patches = extract_patches(
-                frame.data, pos[j1] + off[None] + frame.border,
-                cfg.desc_patch)
-            q = patches.reshape(-1, cfg.desc_patch ** 2)
-            best = jnp.minimum(best, jnp.sum(jnp.abs(q - desc), axis=1))
+    for s in range(det_patches.shape[0]):
+        q = det_patches[s][j1]                       # (A, P²) row gather
+        best = jnp.minimum(best, jnp.sum(jnp.abs(q - desc), axis=1))
     inl = inl & (best < 2.0 * cfg.lc_appearance_gate * energy)
 
     T1, _ = pnp_gn(T, X, uv1, inl, intr,
@@ -435,18 +456,35 @@ def _archive_pnp(state: SlamState, frame2: Image2d, cfg: SlamConfig,
     filled = state.arch_frame >= 0
     old_enough = filled & (state.arch_frame <= cur_frame - min_frame_gap)
 
+    # one patch-extraction pass serves both PnP calls (the expensive
+    # image gathers are per-detection, not per-map-entry)
+    det_patches = _det_shift_patches(frame2, pos, cfg.desc_patch)
     T_rec, err_rec, n_rec = _map_vote_pnp(
         state.arch_X, state.arch_desc, filled, pos, valid, frame2, cfg,
-        T_prior, intr)
+        T_prior, intr, det_patches=det_patches)
     T_lc, err_lc, n_lc = _map_vote_pnp(
         state.arch_X, state.arch_desc, old_enough, pos, valid, frame2,
-        cfg, T_prior, intr)
+        cfg, T_prior, intr, det_patches=det_patches)
     return ((T_rec, err_rec, n_rec), (T_lc, err_lc, n_lc))
 
 
 def _do_keyframe(state: SlamState, frame2: Image2d, cfg: SlamConfig,
                  mesh=None, axis: str = "lm") -> SlamState:
-    """Keyframe work: obs write -> PnP pose -> triangulate -> window BA."""
+    """Keyframe work: obs write -> PnP pose -> triangulate -> window BA.
+
+    Traced under ``jax.default_matmul_precision("highest")``: TPU f32
+    matmuls default to bf16 passes, and the back-end's SE(3) chain
+    products / normal-equation assembly visibly degrade under them
+    (measured at VGA: keyframe ATE 0.70 vs 0.05 for the f64 scalar CPU
+    engine on the same clip). The tracker front-end stays at the fast
+    default — its SAD cost volumes are integer-valued and robust.
+    """
+    with jax.default_matmul_precision("highest"):
+        return _do_keyframe_inner(state, frame2, cfg, mesh, axis)
+
+
+def _do_keyframe_inner(state: SlamState, frame2: Image2d, cfg: SlamConfig,
+                       mesh=None, axis: str = "lm") -> SlamState:
     intr = jnp.asarray(cfg.intrinsics, jnp.float32)
     kps = state.tracker.keypoints
     n, r = state.obs_valid.shape
@@ -504,8 +542,13 @@ def _do_keyframe(state: SlamState, frame2: Image2d, cfg: SlamConfig,
     # one FAST pass against the landmark archive serves both: the full
     # match set re-localises a starved tracker (blackout/occlusion), the
     # old-entries-only set measures a revisit (loop closure)
-    (T_rec, err_rec, n_rec), (T_lc, err_lc, n_lc) = _archive_pnp(
-        state, frame2, cfg, T_prior, intr, cfg.lc_min_gap)
+    if cfg.enable_recovery:
+        (T_rec, err_rec, n_rec), (T_lc, err_lc, n_lc) = _archive_pnp(
+            state, frame2, cfg, T_prior, intr, cfg.lc_min_gap)
+    else:                      # compiled out: no recovery, no closures
+        T_rec = T_lc = T_prior
+        err_rec = err_lc = jnp.float32(0.0)
+        n_rec = n_lc = jnp.int32(0)
     n_tracked = jnp.sum(lm_valid & kps.alive)
     rec_ok = (n_rec >= cfg.lc_min_inliers) & (err_rec < cfg.rec_max_err)
     lost = n_tracked < cfg.min_tracked
@@ -554,9 +597,8 @@ def _do_keyframe(state: SlamState, frame2: Image2d, cfg: SlamConfig,
     P1 = jax.vmap(lambda c: _projection_matrix(kf_pose[c], intr))(
         first_col)                                        # (N, 3, 4)
     P2 = _projection_matrix(T_new, intr)
-    X = jax.vmap(_triangulate_one)(
-        P1, jnp.broadcast_to(P2, (n, 3, 4)),
-        uv0[:, ::-1], uv1[:, ::-1])                       # (x=col, y=row)
+    X = triangulate_ls(P1, jnp.broadcast_to(P2, (n, 3, 4)),
+                       uv0[:, ::-1], uv1[:, ::-1])        # (x=col, y=row)
 
     # acceptance: in front of both cameras + reprojection sanity
     z1 = jax.vmap(lambda T, x: (T @ jnp.append(x, 1.0))[2])(
@@ -584,7 +626,7 @@ def _do_keyframe(state: SlamState, frame2: Image2d, cfg: SlamConfig,
     enough = jnp.sum(ba_obs_valid) >= 12
     solved, _ = ba_solve_tracks(prob, iters=cfg.ba_iters,
                                 huber=cfg.ba_huber, lam0=cfg.ba_lam0,
-                                mesh=mesh, axis=axis)
+                                mesh=mesh, axis=axis, ring_layout=True)
     kf_pose = jnp.where(enough, solved.poses, kf_pose)
     lm_X = jnp.where(enough, solved.landmarks, lm_X)
 
@@ -685,39 +727,65 @@ def _do_keyframe(state: SlamState, frame2: Image2d, cfg: SlamConfig,
     # the live window (the window keeps its internally-BA-consistent
     # drifting frame; hist carries the globally-corrected trajectory) —
     # the design the reference stubs at structure_from_motion.hh:55-56.
+    #
+    # Incremental policy (round 5): the FULL double solve (GN to
+    # convergence, then the DCS robust re-solve) runs only on keyframes
+    # that accept a NEW closure — that is when the constraint set gains
+    # information. Every other keyframe runs a cheap 2-iteration refresh
+    # so the in-ring history entries just overwritten from the (drifting)
+    # window frame get pulled back onto the smoothed trajectory; the
+    # history is already near-converged there, so 2 GN iterations with
+    # DCS weights computed from the CURRENT residuals suffice. Before
+    # this, every keyframe after the first closure paid 2x8 iterations of
+    # a dense (6H)^2 solve — ~30 ms/keyframe at history=64 on v5e,
+    # dominating the whole engine.
     from .pose_graph import (PoseGraph, pose_graph_residuals,
                              pose_graph_solve)
 
-    def solve_graph(hist):
+    def build_graph(hist, lcw):
         k_ids2 = jnp.arange(hcap)
         odo_valid = (k_ids2 >= 1) & (k_ids2 <= jnp.minimum(kf, hcap - 1))
         n0 = hist[0]
         lcz = jax.vmap(lambda t: se3_inverse(n0) @ t)(lc_T)
-        g = PoseGraph(
+        return PoseGraph(
             poses=hist,
             edge_i=jnp.concatenate([jnp.maximum(k_ids2 - 1, 0),
                                     jnp.zeros((lc_cap,), jnp.int32)]),
             edge_j=jnp.concatenate([k_ids2, lc_j]),
             edge_T=jnp.concatenate([pg_T, lcz]),
-            edge_w=jnp.concatenate([pg_w, lc_w]),
+            edge_w=jnp.concatenate([pg_w, lcw]),
             edge_valid=jnp.concatenate([odo_valid, lc_w > 0]),
             fixed=(k_ids2 == 0) | (k_ids2 > jnp.minimum(kf, hcap - 1)))
-        solved, _ = pose_graph_solve(g, iters=cfg.pose_graph_iters)
-        # DCS robust re-solve (switchable-constraint style): a closure
-        # that stays inconsistent with the jointly-optimised graph is an
-        # outlier measurement — scale its weight by the Dynamic Covariance
-        # Scaling kernel of its post-solve residual and solve once more
-        res = pose_graph_residuals(solved)[hcap:]
+
+    def dcs_weights(g):
+        # DCS (switchable-constraint style): a closure inconsistent with
+        # the jointly-optimised graph is an outlier measurement — scale
+        # its weight by the Dynamic Covariance Scaling kernel of its
+        # residual under the given poses
+        res = pose_graph_residuals(g)[hcap:]
         rr = jnp.sum(res * res, axis=-1)
         c2 = jnp.float32(cfg.lc_dcs_c ** 2)
-        s = jnp.minimum(1.0, 2.0 * c2 / (c2 + rr))
-        g2 = g._replace(poses=solved.poses,
-                        edge_w=jnp.concatenate([pg_w, lc_w * s]))
+        return jnp.minimum(1.0, 2.0 * c2 / (c2 + rr))
+
+    def solve_full(hist):
+        g = build_graph(hist, lc_w)
+        solved, _ = pose_graph_solve(g, iters=cfg.pose_graph_iters)
+        s = dcs_weights(g._replace(poses=solved.poses))
+        g2 = build_graph(solved.poses, lc_w * s)
         solved2, _ = pose_graph_solve(g2, iters=cfg.pose_graph_iters)
         return solved2.poses
 
-    hist_pose = jax.lax.cond(jnp.any(lc_w > 0), solve_graph,
-                             lambda h: h, hist_pose)
+    def solve_refresh(hist):
+        s = dcs_weights(build_graph(hist, lc_w))
+        solved, _ = pose_graph_solve(build_graph(hist, lc_w * s),
+                                     iters=2)
+        return solved.poses
+
+    hist_pose = jax.lax.cond(
+        lc_good, solve_full,
+        lambda h: jax.lax.cond(jnp.any(lc_w > 0), solve_refresh,
+                               lambda hh: hh, h),
+        hist_pose)
 
     return state.replace(
         kf_pose=kf_pose, kf_valid=kf_valid, obs_uv=obs_uv,

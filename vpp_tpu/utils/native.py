@@ -49,6 +49,12 @@ def load_cpu_baseline() -> Optional[ctypes.CDLL]:
     dll = ctypes.CDLL(str(lib))
     dll.tracker_fps.restype = ctypes.c_double
     dll.tracker_fps.argtypes = [ctypes.c_int] * 4
+    d = ctypes.c_double
+    pd = ctypes.POINTER(d)
+    pf = ctypes.POINTER(ctypes.c_float)
+    dll.slam_fps.restype = d
+    dll.slam_fps.argtypes = [pf] + [ctypes.c_int] * 3 + [d] * 4 + [pd] + \
+        [ctypes.c_int] * 7 + [d] * 3 + [pd, pd]
     return dll
 
 
@@ -58,3 +64,43 @@ def cpu_tracker_fps(width: int, height: int, frames: int,
     if dll is None:
         return None
     return float(dll.tracker_fps(width, height, frames, seed))
+
+
+def cpu_slam_fps(frames, intrinsics, boot, *, kf_period: int, ring: int,
+                 ba_iters: int = 3, pnp_iters: int = 6, spacing: int = 8,
+                 detector_th: int = 8, detector_period: int = 1,
+                 min_parallax: float = 2.0, max_reproj: float = 2.0,
+                 prune_reproj: float = 1.5, gt=None):
+    """Scalar C++ tracking+BA engine (native/cpu_baseline.cpp slam_fps) —
+    the measured denominator for BASELINE configs 4-5.
+
+    ``frames``: (T, H, W) float array; ``boot``: (2, 4, 4) poses of the
+    engine's FIRST TWO keyframes (they land on frames kf_period and
+    2*kf_period); ``gt``: optional (T, 4, 4) ground truth for the ATE
+    diagnostic. Returns (fps, stats dict).
+    """
+    import numpy as np
+    dll = load_cpu_baseline()
+    if dll is None:
+        return None, None
+    fr = np.ascontiguousarray(frames, np.float32)
+    t, h, w = fr.shape
+    bt = np.ascontiguousarray(boot, np.float64)
+    out = np.zeros(5, np.float64)
+    pd = ctypes.POINTER(ctypes.c_double)
+    # keep a reference to the gt buffer for the duration of the call
+    gt_arr = (np.ascontiguousarray(gt, np.float64)
+              if gt is not None else None)
+    gt_ptr = (gt_arr.ctypes.data_as(pd) if gt_arr is not None
+              else ctypes.cast(None, pd))
+    fx, fy, cx, cy = [float(v) for v in intrinsics]
+    fps = dll.slam_fps(
+        fr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), t, h, w,
+        fx, fy, cx, cy, bt.ctypes.data_as(pd), kf_period, ring, ba_iters,
+        pnp_iters, spacing, detector_th, detector_period,
+        float(min_parallax), float(max_reproj), float(prune_reproj),
+        gt_ptr, out.ctypes.data_as(pd))
+    stats = {"ate": float(out[0]), "n_live": int(out[1]),
+             "n_landmarks": int(out[2]), "n_keyframes": int(out[3]),
+             "mean_reproj": float(out[4])}
+    return float(fps), stats
