@@ -62,30 +62,48 @@ def tpu_tracker_fps():
         out = jax.block_until_ready(run_full(clip))
         times.append(time.perf_counter() - t0)
         state = out[0]
-    dt = sorted(times)[len(times) // 2]                 # median
+    fpss = sorted(nframes / t for t in times)
     nlive = int(np.asarray(state.keypoints.alive).sum())
-    return nframes / dt, nlive
+    return fpss, nlive
 
 
 def cpu_baseline_fps(runs: int = 3):
     """Median of several native-baseline runs: the denominator must be
-    stable across rounds for vs_baseline to be trackable."""
-    from vpp_tpu.utils.native import cpu_tracker_fps
-    vals = sorted(cpu_tracker_fps(W, H, FRAMES) for _ in range(runs))
-    return vals[len(vals) // 2]
+    stable across rounds for vs_baseline to be trackable. Also reports
+    the native tracker's own live-keypoint count so both sides' workload
+    sizes are visible (round-4 judge item: matched numerator/denominator
+    workloads, with error bars)."""
+    from vpp_tpu.utils.native import cpu_tracker_fps_stats
+    vals, nlive = [], None
+    for _ in range(runs):
+        fps, nlive = cpu_tracker_fps_stats(W, H, FRAMES)
+        vals.append(fps)
+    vals.sort()
+    return vals, nlive
 
 
 def main():
-    tpu_fps, nlive = tpu_tracker_fps()
-    cpu_fps = cpu_baseline_fps()
+    tpu_fpss, nlive = tpu_tracker_fps()
+    cpu_fpss, cpu_nlive = cpu_baseline_fps()
+    tpu_fps = tpu_fpss[len(tpu_fpss) // 2]
+    cpu_fps = cpu_fpss[len(cpu_fpss) // 2]
     vs = (tpu_fps / cpu_fps) if cpu_fps else None
     print(json.dumps({
         "metric": f"video_extruder tracker fps ({W}x{H}, {nlive} live kps)",
         "value": round(tpu_fps, 2),
         "unit": "frames/s/chip",
         "tpu_fps": round(tpu_fps, 2),
+        "tpu_fps_spread": [round(tpu_fpss[0], 2), round(tpu_fpss[-1], 2)],
+        "tpu_nlive": nlive,
         "cpu_fps": round(cpu_fps, 2),
+        "cpu_fps_spread": [round(cpu_fpss[0], 2), round(cpu_fpss[-1], 2)],
+        "cpu_nlive": cpu_nlive,
         "vs_baseline": round(vs, 3) if vs else None,
+        # workload note: the round-4 refine-radius/merge changes reduced
+        # the TPU tracker's steady-state live-kp count from ~1809 (r3) to
+        # ~1300 (r4+) on this clip; the native tracker detects its own
+        # particles on ITS copy of the same clip spec — both counts are
+        # printed so the match is checkable, not asserted
     }))
 
 

@@ -27,31 +27,78 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import numpy as np
+import jax
+import jax.numpy as jnp
 
 HBM_PEAK_GBPS = 819.0        # TPU v5e
+
+
+_DISPATCH_FLOOR_MS = [0.0]     # measured once in main(); subtracted
+
+
+def _timed_runs(jf, carry0):
+    """Median wall time of 3 executions with DISTINCT inputs (identical
+    (program, input) pairs can be served from the axon tunnel's result
+    cache), after a hard sync (block_until_ready on the first
+    post-compile dispatch does not actually wait through the tunnel)."""
+    out = jax.block_until_ready(jf(carry0))
+    np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+    ts = []
+    for k in (3, 5, 7):
+        cin = jax.tree_util.tree_map(
+            lambda x: x * (1.0 + k * 1e-7) if jnp.issubdtype(
+                x.dtype, jnp.floating) else x, carry0)
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(jf(cin))
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[1]
 
 
 def bench(name, make_step, carry0, iters, unit="ms/iter", extra=None,
           bytes_model=None):
     """``bytes_model``: minimal HBM bytes one iteration must move (reads
     + writes of the algorithm's inputs/outputs, ignoring fusible
-    intermediates). Reported as achieved GB/s + % of HBM peak."""
-    import jax
+    intermediates). Reported as achieved GB/s + % of HBM peak.
 
-    def scan_fn(c):
-        return jax.lax.scan(lambda cc, _: (make_step(cc), None), c, None,
-                            length=iters)[0]
+    The measured per-DISPATCH floor (tunnel round trip, ~20 ms on this
+    axon link) is subtracted before dividing by ``iters`` — it would
+    otherwise add floor/iters to every per-iter number (0.67 ms at the
+    default 30 iters, swamping the sub-ms kernels)."""
 
-    jf = jax.jit(scan_fn)
-    out = jax.block_until_ready(jf(carry0))
-    t0 = time.perf_counter()
-    out = jax.block_until_ready(jf(carry0))
-    dt = (time.perf_counter() - t0) / iters * 1e3
+    def make_scan(n_it):
+        # the iteration index perturbs the carry so XLA cannot simplify
+        # the loop (a scan of  c + const  measured as if collapsed to one
+        # iteration at n_it=4000; 1e-12 rounded to exactly 1.0 in f32 and
+        # still collapsed) and no two iterations are identical
+        def scan_fn(c):
+            def stp(cc, i):
+                return make_step(cc * (1.0 + i * 1e-7)), None
+            return jax.lax.scan(stp, c,
+                                jnp.arange(n_it, dtype=jnp.float32))[0]
+        return jax.jit(scan_fn)
+
+    floor = _DISPATCH_FLOOR_MS[0]
+    wall = _timed_runs(make_scan(iters), carry0) * 1e3
+    # adaptive amortisation: if the kernel total is comparable to the
+    # (noisy) dispatch floor, subtraction is ill-conditioned — raise the
+    # iteration count until the floor is < 10% of the wall, then
+    # subtract the measured floor
+    if wall < 10.0 * floor:
+        per_it = max((wall - floor) / iters, wall / iters * 0.02)
+        iters = min(4000, max(iters, int(10.0 * floor / per_it)))
+        wall = _timed_runs(make_scan(iters), carry0) * 1e3
+    dt = max(wall - floor, 1e-6) / iters
     rec = {"bench": name, "value": round(dt, 4), "unit": unit}
     if bytes_model:
         gbps = bytes_model / (dt * 1e-3) / 1e9
         rec["gbps"] = round(gbps, 1)
-        rec["pct_hbm_peak"] = round(100 * gbps / HBM_PEAK_GBPS, 1)
+        if gbps > HBM_PEAK_GBPS:
+            # a long scan keeps a small working set VMEM-resident; the
+            # apparent bandwidth is VMEM-tier, not HBM — report the fact
+            # instead of a >100% "HBM" number
+            rec["vmem_resident"] = True
+        else:
+            rec["pct_hbm_peak"] = round(100 * gbps / HBM_PEAK_GBPS, 1)
     if extra:
         rec.update(extra)
     print(json.dumps(rec))
@@ -76,6 +123,13 @@ def main():
 
     h, w = args.size
     rng = np.random.RandomState(0)
+    # dispatch floor: a trivial program under the same harness — its
+    # wall time is all tunnel round trip
+    tiny = jnp.asarray(rng.rand(8, 128).astype(np.float32))
+    floor = _timed_runs(jax.jit(lambda c: c * 1.0000001), tiny)
+    _DISPATCH_FLOOR_MS[0] = floor * 1e3
+    print(json.dumps({"bench": "_dispatch_floor", "value":
+                      round(floor * 1e3, 2), "unit": "ms/dispatch"}))
     a0 = jnp.asarray(rng.randint(0, 255, (h, w)).astype(np.float32))
     b0 = jnp.asarray(rng.randint(0, 255, (h, w)).astype(np.float32))
     n = args.iters
@@ -131,11 +185,28 @@ def main():
           euclidean_distance_transform(c > 0.5)[0].sum() * 0 + c,
           seeds.astype(jnp.float32), max(n // 3, 3))
 
-    # dense Hough accumulator
+    # dense Hough accumulator: scatter-add baseline vs the two MXU
+    # formulations (round 5 — the 4 bilinear votes/pixel factor into a
+    # rank-1 tent product, so the accumulator is a sum of chunked
+    # one-hot matmuls; hough.py / hough_pallas.py)
+    from vpp_tpu.algorithms.hough import hough_accumulator_mxu
     bench("hough_accumulator", lambda c: c + 1e-9 * hough_accumulator(
         Image2d(data=c, border=3)).sum(),
         from_array(a0, border=3, border_mode="mirror").data,
         max(n // 3, 3))
+    bench("hough_accumulator_mxu", lambda c: c + 1e-9 *
+          hough_accumulator_mxu(Image2d(data=c, border=3)).sum(),
+          from_array(a0, border=3, border_mode="mirror").data,
+          max(n // 3, 3))
+    try:
+        from vpp_tpu.algorithms.hough_pallas import hough_accumulator_pallas
+        bench("hough_accumulator_pallas", lambda c: c + 1e-9 *
+              hough_accumulator_pallas(Image2d(data=c, border=3)).sum(),
+              from_array(a0, border=3, border_mode="mirror").data,
+              max(n // 3, 3))
+    except Exception as e:           # pallas path is platform-gated
+        print(json.dumps({"bench": "hough_accumulator_pallas",
+                          "error": str(e)[:120]}))
 
     # semi-dense optical flow (VGA, the tracker engine)
     hv, wv = 480, 640
@@ -169,7 +240,19 @@ def main():
                                 winsize=11, nscales=3)
         return c + 1e-9 * fl.sum()
 
-    bench("pyrlk_1024kp_vga", pyrlk_step, i2d, n)
+    # denominator: scalar C++/OpenMP pyrLK (native/cpu_baseline.cpp
+    # pyrlk_ms — the reference's pyrlk_opencv_comparison.cc methodology,
+    # same workload: pyramids + Scharr gradient pyramid + 21-iteration
+    # LK of 1024 keypoints at VGA, winsize 11, 3 levels; the CPU keeps
+    # its data-dependent early exits)
+    from vpp_tpu.utils.native import cpu_pyrlk_ms
+    cpu_ms = cpu_pyrlk_ms(640, 480, 1024, iters=5)
+    tpu_ms = bench("pyrlk_1024kp_vga", pyrlk_step, i2d, n,
+                   extra=({"cpu_ms": round(cpu_ms, 2)} if cpu_ms else None))
+    if cpu_ms:
+        print(json.dumps({"bench": "pyrlk_1024kp_vga_vs_baseline",
+                          "value": round(cpu_ms / tpu_ms, 2),
+                          "unit": "x vs native CPU"}))
 
 
 if __name__ == "__main__":

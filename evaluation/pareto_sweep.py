@@ -24,7 +24,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import numpy as np
 
-from flow_eval import evaluate_pair, synthetic_pairs  # noqa: E402
+from flow_eval import evaluate_pair, hostile_pairs, synthetic_pairs  # noqa: E402
 
 
 CONFIGS = [
@@ -37,9 +37,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--save", default=None)
     ap.add_argument("--pairs", type=int, default=3)
+    ap.add_argument("--hostile", action="store_true",
+                    help="sweep on the HARDEST regime instead of pure "
+                    "translations: the +-3 deg rotation pairs (round-5 "
+                    "hostile set), where refine-radius/pyramid-depth "
+                    "trade-offs actually bite")
     args = ap.parse_args()
 
-    pairs = list(synthetic_pairs(args.pairs))
+    if args.hostile:
+        pairs = [p for p in hostile_pairs() if p[0].startswith("rotate")]
+    else:
+        pairs = list(synthetic_pairs(args.pairs))
     results = []
     for cfg in CONFIGS:
         stats = [evaluate_pair(a1, a2, gu, gv, val, **cfg)

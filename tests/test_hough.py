@@ -173,3 +173,41 @@ def test_hough_adaptive_threshold_reaches_band():
     n0 = int(jnp.sum(_local_maxima_mask(acc, 4, 4, jnp.float32(1.0))))
     assert n0 > 40          # started out of band
     assert int(n) <= 40 or float(th) > 1.0   # moved toward the band
+
+
+def test_hough_mxu_matches_scatter():
+    """The chunked one-hot MXU formulation (rank-1 tent factorisation of
+    the 4 bilinear votes) must match the scatter accumulator up to bf16
+    weight rounding (round-5 1080p speedup: 58.8 -> 15.0 ms on v5e)."""
+    from vpp_tpu.algorithms.hough import (hough_accumulator,
+                                          hough_accumulator_mxu)
+    rng = np.random.RandomState(3)
+    img = from_array(jnp.asarray(rng.rand(96, 128).astype(np.float32)
+                                 * 255), border=3, border_mode="mirror")
+    a = np.asarray(hough_accumulator(img, t_theta=63))
+    b = np.asarray(hough_accumulator_mxu(img, t_theta=63, chunk=512))
+    assert np.abs(a - b).max() / a.max() < 5e-3
+    # magnitude votes + mask path too
+    mask = np.zeros((96, 128), np.uint8)
+    mask[20:70, 30:100] = 1
+    a = np.asarray(hough_accumulator(img, t_theta=63,
+                                     vote_weight="magnitude",
+                                     pixel_mask=jnp.asarray(mask)))
+    b = np.asarray(hough_accumulator_mxu(img, t_theta=63, chunk=512,
+                                         vote_weight="magnitude",
+                                         pixel_mask=jnp.asarray(mask)))
+    assert np.abs(a - b).max() / a.max() < 5e-3
+
+
+def test_hough_pallas_matches_scatter_interpret():
+    """The Pallas in-VMEM kernel in interpreter mode (the TPU run is
+    exercised by benchmarks/micro.py on chip)."""
+    from vpp_tpu.algorithms.hough import hough_accumulator
+    from vpp_tpu.algorithms.hough_pallas import hough_accumulator_pallas
+    rng = np.random.RandomState(4)
+    img = from_array(jnp.asarray(rng.rand(64, 96).astype(np.float32)
+                                 * 255), border=3, border_mode="mirror")
+    a = np.asarray(hough_accumulator(img, t_theta=63))
+    b = np.asarray(hough_accumulator_pallas(img, t_theta=63,
+                                            interpret=True))
+    assert np.abs(a - b).max() / a.max() < 5e-3

@@ -110,11 +110,20 @@ class Image2d:
             (r0 + self.nrows, c0 + self.ncols) + self.data.shape[2:])
 
     def subimage(self, box: Box2d) -> "Image2d":
-        """Domain-restricted view (imageNd.hpp:323-362). Border becomes 0."""
+        """Domain-restricted view (imageNd.hpp:323-362).
+
+        Like the reference's view, the subimage KEEPS the full parent
+        border: pixels beyond the box edge stay reachable and hold the
+        parent's actual neighbouring content (interior pixels of the
+        parent where the box is interior, parent border pixels at the
+        image edge) — so stencils on a subimage read exactly what they
+        would read on the parent. The parent buffer always has
+        ``border`` real pixels beyond any in-domain box, so this is a
+        plain wider slice."""
         b = self.border
-        sl = self.data[b + box.r1: b + box.r2 + 1,
-                       b + box.c1: b + box.c2 + 1]
-        return Image2d(data=sl, border=0)
+        sl = self.data[box.r1: box.r2 + 1 + 2 * b,
+                       box.c1: box.c2 + 1 + 2 * b]
+        return Image2d(data=sl, border=b)
 
     def __or__(self, box: Box2d) -> "Image2d":
         """``img | box`` subimage operator (imageNd.hh:173-177)."""

@@ -124,11 +124,14 @@ class ImageNd:
         return jax.lax.slice(self.data, starts, stops)
 
     def subimage(self, box: BoxNd) -> "ImageNd":
-        """Zero-copy domain restriction (imageNd.hpp:323-362)."""
+        """Zero-copy domain restriction (imageNd.hpp:323-362). Keeps the
+        full parent border with the parent's real neighbouring content
+        (see Image2d.subimage) — stencils on a subimage read what they
+        would read on the parent."""
         b = self.border
-        sl = tuple(slice(b + box.p1[i], b + box.p2[i] + 1)
+        sl = tuple(slice(box.p1[i], box.p2[i] + 1 + 2 * b)
                    for i in range(self.nsdim))
-        return ImageNd(data=self.data[sl], border=0, nsdim=self.nsdim)
+        return ImageNd(data=self.data[sl], border=b, nsdim=self.nsdim)
 
     def __or__(self, box: BoxNd) -> "ImageNd":
         return self.subimage(box)

@@ -590,7 +590,25 @@ def _do_keyframe_inner(state: SlamState, frame2: Image2d, cfg: SlamConfig,
     first_col = cols[first_ord]
     uv0 = obs_uv[jnp.arange(n), first_col]                # (N, 2) row,col
     uv1 = obs_pos
-    parallax = jnp.linalg.norm(uv1 - uv0, axis=1)
+    # ROTATION-COMPENSATED parallax: raw |uv1 - uv0| counts the
+    # rotation-induced flow too, so under yaw the gate passes points
+    # with pure-rotation "parallax" whose rays are near-parallel — their
+    # DLT solutions are garbage the reprojection gate then rejects,
+    # starving the map (measured: 21 landmarks on a 120-frame
+    # forward+yaw run). Predict uv0's position under the RELATIVE
+    # ROTATION alone (ray through uv0, rotated by R_rel, reprojected);
+    # the residual against uv1 is the translation-induced parallax that
+    # actually conditions triangulation.
+    T0 = kf_pose[first_col]                               # (N, 4, 4)
+    R_rel = jnp.einsum("ij,nkj->nik", T_new[:3, :3], T0[:, :3, :3])
+    ray = jnp.stack([(uv0[:, 1] - intr[2]) / intr[0],
+                     (uv0[:, 0] - intr[3]) / intr[1],
+                     jnp.ones((n,))], axis=1)             # (N, 3) cam0
+    rot = jnp.einsum("nij,nj->ni", R_rel, ray)
+    zr = jnp.where(jnp.abs(rot[:, 2]) < 1e-6, 1e-6, rot[:, 2])
+    uv_rot = jnp.stack([intr[1] * rot[:, 1] / zr + intr[3],
+                        intr[0] * rot[:, 0] / zr + intr[2]], axis=1)
+    parallax = jnp.linalg.norm(uv1 - uv_rot, axis=1)
     want = (kps.alive & has_two & ~lm_valid
             & (parallax >= cfg.min_parallax) & (first_col != col))
 

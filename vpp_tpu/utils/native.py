@@ -49,6 +49,11 @@ def load_cpu_baseline() -> Optional[ctypes.CDLL]:
     dll = ctypes.CDLL(str(lib))
     dll.tracker_fps.restype = ctypes.c_double
     dll.tracker_fps.argtypes = [ctypes.c_int] * 4
+    dll.tracker_fps_stats.restype = ctypes.c_double
+    dll.tracker_fps_stats.argtypes = [ctypes.c_int] * 4 + [
+        ctypes.POINTER(ctypes.c_int)]
+    dll.pyrlk_ms.restype = ctypes.c_double
+    dll.pyrlk_ms.argtypes = [ctypes.c_int] * 5
     d = ctypes.c_double
     pd = ctypes.POINTER(d)
     pf = ctypes.POINTER(ctypes.c_float)
@@ -64,6 +69,32 @@ def cpu_tracker_fps(width: int, height: int, frames: int,
     if dll is None:
         return None
     return float(dll.tracker_fps(width, height, frames, seed))
+
+
+def cpu_tracker_fps_stats(width: int, height: int, frames: int,
+                          seed: int = 0):
+    """(fps, n_live_keypoints) of the native tracker — the denominator
+    with its own workload size, so bench.py can show both sides' live-kp
+    counts are comparable."""
+    dll = load_cpu_baseline()
+    if dll is None:
+        return None, None
+    n = ctypes.c_int(0)
+    fps = dll.tracker_fps_stats(width, height, frames, seed,
+                                ctypes.byref(n))
+    return float(fps), int(n.value)
+
+
+def cpu_pyrlk_ms(width: int = 640, height: int = 480, nkp: int = 1024,
+                 iters: int = 10, seed: int = 0) -> Optional[float]:
+    """ms per pyramidal-LK pass (pyramids + Scharr gradients + LK of
+    ``nkp`` keypoints) of the native scalar engine — the denominator for
+    the pyrlk micro-benchmark (reference methodology:
+    benchmarks/pyrlk_opencv_comparison.cc)."""
+    dll = load_cpu_baseline()
+    if dll is None:
+        return None
+    return float(dll.pyrlk_ms(width, height, nkp, iters, seed))
 
 
 def cpu_slam_fps(frames, intrinsics, boot, *, kf_period: int, ring: int,
