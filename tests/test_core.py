@@ -153,3 +153,35 @@ def test_subimage_keeps_parent_border_content():
     # a box at the image corner sees the parent's border pixels
     sub0 = img | Box2d(0, 0, 2, 2)
     assert float(sub0(-1, -1)) == float(img(-1, -1))
+
+
+def test_extract_patches_onehot_exact_and_fallback():
+    """The one-hot MXU patch extraction must equal the gather formulation
+    exactly (floating data, incl. multi-channel); integer dtypes take
+    the gather fallback."""
+    from vpp_tpu.core.interp import extract_patches
+    rng = np.random.RandomState(5)
+    data = jnp.asarray(rng.rand(40, 56).astype(np.float32) * 255)
+    ctr = jnp.asarray(rng.randint(4, 36, (17, 2)), jnp.int32)
+
+    def gather_ref(d, c, size):
+        half = size // 2
+        tl = np.clip(np.asarray(c) - half,
+                     0, [d.shape[0] - size, d.shape[1] - size])
+        return np.stack([np.asarray(d)[r:r + size, cc:cc + size]
+                         for r, cc in tl])
+
+    got = np.asarray(extract_patches(data, ctr, 7))
+    np.testing.assert_array_equal(got, gather_ref(data, ctr, 7))
+    # multi-channel
+    data3 = jnp.asarray(rng.rand(40, 56, 2).astype(np.float32))
+    got3 = np.asarray(extract_patches(data3, ctr, 5))
+    assert got3.shape == (17, 5, 5, 2)
+    tl = np.clip(np.asarray(ctr) - 2, 0, [35, 51])
+    want3 = np.stack([np.asarray(data3)[r:r + 5, c:c + 5]
+                      for r, c in tl])
+    np.testing.assert_array_equal(got3, want3)
+    # integer dtype -> gather fallback, still exact
+    datai = jnp.asarray(rng.randint(0, 255, (40, 56)), jnp.int32)
+    goti = np.asarray(extract_patches(datai, ctr, 7))
+    np.testing.assert_array_equal(goti, gather_ref(datai, ctr, 7))
