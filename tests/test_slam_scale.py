@@ -163,3 +163,49 @@ def test_ring_layout_matches_generic():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(s1.landmarks),
                                np.asarray(s2.landmarks), atol=1e-5)
+
+
+def test_chol_fast_path_matches_lu_on_window():
+    """linalg="chol" (closed-form landmark inverses + Cholesky pose
+    solve — the pipeline's sliding-window fast path, SlamConfig.ba_linalg)
+    must track the pivoted-LU reference solver on a well-conditioned
+    window problem: same converged cost and poses to f32 tolerance."""
+    rng = np.random.RandomState(7)
+    m, n = 6, 256
+    intr = jnp.array([640.0, 640.0, 320.0, 240.0])
+    steps = [np.eye(4, dtype=np.float32)]
+    for i in range(1, m):
+        xi = np.zeros(6, np.float32)
+        xi[3] = -0.15
+        xi[1] = 0.01
+        steps.append(np.asarray(
+            se3_exp(jnp.asarray(xi)) @ jnp.asarray(steps[-1])))
+    poses_gt = jnp.asarray(np.stack(steps))
+    lms_gt = jnp.asarray(rng.rand(n, 3) * np.array([4, 2, 2])
+                         + [-2.0, -1.0, 5.0], jnp.float32)
+    obs_pose = jnp.broadcast_to(jnp.arange(m)[None], (n, m)).astype(
+        jnp.int32)
+    uv = project(poses_gt[obs_pose], lms_gt[:, None], intr)
+    uv = uv + jnp.asarray(rng.randn(n, m, 2) * 0.2, jnp.float32)
+    prob = BATracks(
+        poses=poses_gt,
+        landmarks=lms_gt + jnp.asarray(rng.randn(n, 3) * 0.03,
+                                       jnp.float32),
+        obs_pose=obs_pose, obs_uv=uv,
+        obs_valid=jnp.asarray(rng.rand(n, m) > 0.3),
+        intrinsics=intr,
+        fixed_poses=jnp.zeros((m,), bool).at[0].set(True).at[1].set(True))
+    s1, c1 = ba_solve_tracks(prob, iters=4, lam0=1e-4, ring_layout=True)
+    s2, c2 = ba_solve_tracks(prob, iters=4, lam0=1e-4, ring_layout=True,
+                             linalg="chol")
+    # the two paths take slightly different LM accept/reject
+    # trajectories (f32 solve rounding at the accept boundary); they must
+    # land on the same optimum, not the same iterate sequence
+    np.testing.assert_allclose(np.asarray(c1)[-1], np.asarray(c2)[-1],
+                               rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(s1.poses), np.asarray(s2.poses),
+                               atol=2e-3)
+    # landmark depth along a low-parallax ray is weakly constrained —
+    # the two optima can differ there at near-zero cost difference
+    np.testing.assert_allclose(np.asarray(s1.landmarks),
+                               np.asarray(s2.landmarks), atol=5e-2)

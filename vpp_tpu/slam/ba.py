@@ -49,12 +49,13 @@ def _inv3(A: jax.Array) -> jax.Array:
     per matrix, which TPUs execute poorly at (N, 3, 3) scale).
 
     Used where downstream gates catch the rare tail-case bad inverse
-    (triangulation: depth + reprojection acceptance). NOT used inside
-    the LM solvers: there a single bad Hll inverse among 10k landmarks
-    poisons the cost sum and stalls convergence (measured on the N=10k
-    scale test — median accuracy 1e-6 but the cond>1e9 tail is ~4x
-    worse than LU; a Newton-Schulz refinement diverges on exactly those
-    blocks). Callers must damp A so it is SPD.
+    (triangulation: depth + reprojection acceptance), and inside the LM
+    solvers only on the ``linalg="chol"`` fast path (parallax-gated
+    sliding windows). On the generic path a single bad Hll inverse among
+    10k landmarks poisons the cost sum and stalls convergence (measured
+    on the N=10k scale test — median accuracy 1e-6 but the cond>1e9 tail
+    is ~4x worse than LU; a Newton-Schulz refinement diverges on exactly
+    those blocks). Callers must damp A so it is SPD.
     """
     dg = jnp.stack([A[..., 0, 0], A[..., 1, 1], A[..., 2, 2]], -1)
     s = jax.lax.rsqrt(jnp.maximum(jnp.abs(dg), 1e-30))
@@ -392,19 +393,29 @@ def tracks_from_flat(p: BAProblem, k_max: Optional[int] = None) -> BATracks:
                     intrinsics=p.intrinsics, fixed_poses=p.fixed_poses)
 
 
-def track_residuals(p: BATracks) -> jax.Array:
+def _obs_poses(p: BATracks, ring_layout: bool = False) -> jax.Array:
+    """(N, K, 4, 4) pose per observation. In the ring layout
+    ``obs_pose[n, j] == j`` so the (N, K) gather — which serialises on
+    the TPU scalar unit — collapses to a free broadcast."""
+    if ring_layout:
+        return jnp.broadcast_to(p.poses[None],
+                                p.obs_uv.shape[:2] + (4, 4))
+    return p.poses[p.obs_pose]
+
+
+def track_residuals(p: BATracks, ring_layout: bool = False) -> jax.Array:
     """(N, K, 2) reprojection residuals, masked slots -> 0."""
-    T = p.poses[p.obs_pose]                       # (N, K, 4, 4)
+    T = _obs_poses(p, ring_layout)                # (N, K, 4, 4)
     X = p.landmarks[:, None, :]
     r = project(T, X, p.intrinsics) - p.obs_uv
     return jnp.where(p.obs_valid[..., None], r, 0.0)
 
 
-def _track_jacobians(p: BATracks):
+def _track_jacobians(p: BATracks, ring_layout: bool = False):
     """r (N,K,2), Jp (N,K,2,6) wrt pose twist, Jl (N,K,2,3) wrt landmark
     — analytic (``proj_jacobians``); the AD formulation below is the
     cross-check oracle (tests/test_slam.py pins their agreement)."""
-    T = p.poses[p.obs_pose]
+    T = _obs_poses(p, ring_layout)
     X = jnp.broadcast_to(p.landmarks[:, None, :],
                          p.obs_uv.shape[:2] + (3,))
     pred, Jp, Jl = proj_jacobians(T, X, p.intrinsics)
@@ -431,15 +442,16 @@ def _track_jacobians_ad(p: BATracks):
     return jax.vmap(jax.vmap(one))(T, X, p.obs_uv)
 
 
-def _tracks_cost(p: BATracks, huber: float) -> jax.Array:
-    r = track_residuals(p)
+def _tracks_cost(p: BATracks, huber: float,
+                 ring_layout: bool = False) -> jax.Array:
+    r = track_residuals(p, ring_layout)
     nrm = jnp.linalg.norm(r, axis=-1)
     w = jnp.where(nrm <= huber, 1.0, huber / jnp.maximum(nrm, 1e-12))
     return jnp.sum(jnp.where(p.obs_valid, w * jnp.sum(r * r, -1), 0.0))
 
 
 def _tracks_assemble(p: BATracks, lam, huber: float,
-                     ring_layout: bool = False):
+                     ring_layout: bool = False, linalg: str = "lu"):
     """Per-shard normal equations. Returns
     (pose-sized aggregates to psum: S (M,6,M,6), rhs (M,6), cost) and
     (landmark-local: Hll_inv (N,3,3), bl (N,3), U (N,K,6,3), seen (N,)).
@@ -458,7 +470,7 @@ def _tracks_assemble(p: BATracks, lam, huber: float,
     (N, K, K, 6, 6) pair tensor never materialises.
     """
     m = p.poses.shape[0]
-    r, Jp, Jl = _track_jacobians(p)
+    r, Jp, Jl = _track_jacobians(p, ring_layout)
     nrm = jnp.linalg.norm(r, axis=-1)
     w = jnp.where(nrm <= huber, 1.0, huber / jnp.maximum(nrm, 1e-12))
     w = jnp.where(p.obs_valid, w, 0.0)                    # (N, K)
@@ -475,10 +487,17 @@ def _tracks_assemble(p: BATracks, lam, huber: float,
     Hll_d = Hll + (lam + 1e-6) * eye3[None]
     Hll_d = jnp.where(seen[:, None, None], Hll_d, eye3[None])
     bl = jnp.where(seen[:, None], bl, 0.0)
-    # LU, not the closed-form _inv3: one tail-case bad inverse among 10k
-    # landmarks poisons the LM cost sum and stalls convergence (measured
-    # on the N=10k scale test); LU's pivoting keeps the tail in check.
-    Hll_inv = jnp.linalg.inv(Hll_d)
+    # linalg="lu": batched LU — one tail-case bad closed-form inverse
+    # among 10k landmarks poisons the LM cost sum and stalls convergence
+    # (measured on the N=10k scale test); LU's pivoting keeps the tail in
+    # check. linalg="chol": the scaled closed-form Cholesky (_inv3) — on
+    # TPU the batched (N,3,3) LU costs ~0.86 ms at N=1024 (it lowers to a
+    # pivoted row loop) vs ~0 for _inv3's fused elementwise arithmetic;
+    # the sliding-window pipeline uses it because its landmarks are
+    # parallax-gated at triangulation (pipeline min_parallax), keeping
+    # every Hll block far from the near-singular tail (verified: same
+    # ATE to 4 decimals on the bench_slam geometries).
+    Hll_inv = (jnp.linalg.inv(Hll_d) if linalg == "lu" else _inv3(Hll_d))
     W = jnp.einsum("nkij,njc->nkic", U, Hll_inv)          # (N,K,6,3)
 
     if ring_layout:
@@ -508,7 +527,7 @@ def _tracks_assemble(p: BATracks, lam, huber: float,
     return (S, rhs, cost), (Hll_inv, bl, U, pose_idx, seen)
 
 
-def _tracks_solve_poses(S, rhs, fixed_poses, lam):
+def _tracks_solve_poses(S, rhs, fixed_poses, lam, linalg: str = "lu"):
     m = rhs.shape[0]
     S = S.reshape(m * 6, m * 6)
     # LM pose damping, added exactly once (after any psum reduction)
@@ -521,7 +540,18 @@ def _tracks_solve_poses(S, rhs, fixed_poses, lam):
     # symmetric diagonal scaling keeps the f32 solve accurate at M >= 128
     d = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(S), 1e-12))
     Sp = S * d[:, None] * d[None, :]
-    dp = d * jnp.linalg.solve(Sp, d * rhs)
+    if linalg == "chol":
+        # S is damped-PD in exact arithmetic, and at sliding-window scale
+        # (M <= ~16, healthy damping) f32 Cholesky holds — and skips LU's
+        # pivoting, ~0.18 ms per keyframe on v5e. At M = 128 with
+        # lam ~ 1e-4 the Schur complement's rounding makes Sp
+        # numerically indefinite (sqrt of a negative -> NaN -> the first
+        # LM steps reject; seen on the 10k-landmark scale test), so the
+        # generic path keeps pivoted LU.
+        L = jax.scipy.linalg.cholesky(Sp, lower=True)
+        dp = d * jax.scipy.linalg.cho_solve((L, True), d * rhs)
+    else:
+        dp = d * jnp.linalg.solve(Sp, d * rhs)
     return dp.reshape(m, 6)
 
 
@@ -537,7 +567,7 @@ def _tracks_backsub(local, dp):
 
 def ba_solve_tracks(p: BATracks, *, iters: int = 10, huber: float = 4.0,
                     lam0: float = 1e-3, mesh=None, axis: str = "lm",
-                    ring_layout: bool = False
+                    ring_layout: bool = False, linalg: str = "lu"
                     ) -> Tuple[BATracks, jax.Array]:
     """Levenberg-Marquardt over a landmark-major problem.
 
@@ -550,6 +580,14 @@ def ba_solve_tracks(p: BATracks, *, iters: int = 10, huber: float = 4.0,
     ``ring_layout=True`` promises ``obs_pose[n, j] == j`` (the sliding
     window ring, K == M) and replaces every scatter-add in the assembly
     with a dense einsum reduction — see ``_tracks_assemble``.
+
+    ``linalg``: solver flavour. "lu" — pivoted LU for both the (N, 3, 3)
+    landmark blocks and the reduced pose system; robust at the
+    10k-landmark near-singular tail and at M >= 128 where f32 rounding
+    makes the Schur complement numerically indefinite. "chol" —
+    closed-form scaled Cholesky landmark inverses + Cholesky pose solve,
+    ~1 ms faster per LM iteration on v5e at N=1024; right for
+    parallax-gated sliding windows (small M, healthy damping).
     """
     if ring_layout:
         assert p.obs_pose.shape[1] == p.poses.shape[0], (
@@ -558,8 +596,8 @@ def ba_solve_tracks(p: BATracks, *, iters: int = 10, huber: float = 4.0,
 
     def step_local(prob: BATracks, lam):
         (S, rhs, cost), local = _tracks_assemble(prob, lam, huber,
-                                                 ring_layout)
-        dp = _tracks_solve_poses(S, rhs, prob.fixed_poses, lam)
+                                                 ring_layout, linalg)
+        dp = _tracks_solve_poses(S, rhs, prob.fixed_poses, lam, linalg)
         dl = _tracks_backsub(local, dp)
         return dp, dl, cost
 
@@ -575,45 +613,51 @@ def ba_solve_tracks(p: BATracks, *, iters: int = 10, huber: float = 4.0,
                  out_specs=(P(), P(axis), P()))
         def sharded_step(prob, lam):
             (S, rhs, cost), local = _tracks_assemble(prob, lam, huber,
-                                                     ring_layout)
+                                                     ring_layout, linalg)
             S = jax.lax.psum(S, axis)
             rhs = jax.lax.psum(rhs, axis)
             cost = jax.lax.psum(cost, axis)
-            dp = _tracks_solve_poses(S, rhs, prob.fixed_poses, lam)
+            dp = _tracks_solve_poses(S, rhs, prob.fixed_poses, lam, linalg)
             dl = _tracks_backsub(local, dp)
             return dp, dl, cost
 
         def cost_fn(prob):
             @partial(shard_map, mesh=mesh, in_specs=(spec,), out_specs=P())
             def c(pr):
-                return jax.lax.psum(_tracks_cost(pr, huber), axis)
+                return jax.lax.psum(_tracks_cost(pr, huber, ring_layout),
+                                    axis)
             return c(prob)
 
         step = sharded_step
     else:
         step = step_local
-        cost_fn = lambda prob: _tracks_cost(prob, huber)  # noqa: E731
+        cost_fn = lambda prob: _tracks_cost(prob, huber,  # noqa: E731
+                                            ring_layout)
 
-    def apply_step(prob: BATracks, dp, dl) -> BATracks:
-        poses = jax.vmap(lambda d, T: se3_exp(d) @ T)(dp, prob.poses)
-        poses = jnp.where(prob.fixed_poses[:, None, None], prob.poses,
-                          poses)
-        return prob._replace(poses=poses, landmarks=prob.landmarks + dl)
+    def apply_step(poses0, lms0, dp, dl):
+        poses = jax.vmap(lambda d, T: se3_exp(d) @ T)(dp, poses0)
+        poses = jnp.where(p.fixed_poses[:, None, None], poses0, poses)
+        return poses, lms0 + dl
 
+    # the LM scan carries ONLY the mutable state (poses, landmarks, lam):
+    # carrying the whole problem pytree made every iteration re-select
+    # the static obs arrays through accept/reject wheres — pure copy
+    # traffic XLA does not always elide
     def body(carry, _):
-        prob, lam = carry
+        poses0, lms0, lam = carry
+        prob = p._replace(poses=poses0, landmarks=lms0)
         dp, dl, cost = step(prob, lam)
-        cand = apply_step(prob, dp, dl)
-        new_cost = cost_fn(cand)
+        cand_poses, cand_lms = apply_step(poses0, lms0, dp, dl)
+        new_cost = cost_fn(p._replace(poses=cand_poses,
+                                      landmarks=cand_lms))
         accept = new_cost < cost
-        prob = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(
-                accept if a.ndim == 0 else
-                accept.reshape((1,) * a.ndim), a, b), cand, prob)
+        poses0 = jnp.where(accept, cand_poses, poses0)
+        lms0 = jnp.where(accept, cand_lms, lms0)
         lam = jnp.where(accept, jnp.maximum(lam * 0.3, 1e-8),
                         jnp.minimum(lam * 4.0, 1e4))
-        return (prob, lam), jnp.where(accept, new_cost, cost)
+        return (poses0, lms0, lam), jnp.where(accept, new_cost, cost)
 
-    (out, _), costs = jax.lax.scan(
-        body, (p, jnp.float32(lam0)), None, length=iters)
-    return out, costs
+    (poses, lms, _), costs = jax.lax.scan(
+        body, (p.poses, p.landmarks, jnp.float32(lam0)), None,
+        length=iters)
+    return p._replace(poses=poses, landmarks=lms), costs

@@ -64,6 +64,14 @@ class SlamConfig:
     ba_iters: int = 3
     ba_huber: float = 4.0
     ba_lam0: float = 1e-4
+    ba_linalg: str = "chol"            # window-BA solver flavour:
+    #                                    "chol" (closed-form landmark
+    #                                    inverses + Cholesky pose solve,
+    #                                    ~1 ms/iter faster on TPU, safe
+    #                                    for parallax-gated windows) or
+    #                                    "lu" (pivoted; robust at the
+    #                                    near-singular tail / M >= 128 —
+    #                                    see ba.ba_solve_tracks)
     prune_reproj: float = 1.5          # post-BA obs outlier gate (px)
     subpix_refine: bool = False        # sub-pixel obs chain (KLT vs the
     #                                    previous keyframe's patch).
@@ -220,7 +228,9 @@ def pnp_gn(T0: jax.Array, X: jax.Array, uv: jax.Array, valid: jax.Array,
         Jw = J * w[:, None, None]
         H = jnp.einsum("nri,nrj->ij", Jw, J) + lam * jnp.eye(6)
         b = -jnp.einsum("nri,nr->i", Jw, r)
-        delta = jnp.linalg.solve(H, b)
+        # H is damped-PD: Cholesky skips LU's pivoting (cheaper on TPU)
+        L = jax.scipy.linalg.cholesky(H, lower=True)
+        delta = jax.scipy.linalg.cho_solve((L, True), b)
         return se3_exp(delta) @ T, None
 
     T, _ = jax.lax.scan(body, T0, None, length=iters)
@@ -298,14 +308,17 @@ def _det_shift_patches(frame: Image2d, pos: jax.Array,
     """(9, K, patch²) patches around each detection at the 9 ±1-px
     shifts — the appearance-gate templates of ``_map_vote_pnp``, hoisted
     so one extraction pass serves every map-PnP call on the frame
-    (recovery + loop closure share the same detections)."""
+    (recovery + loop closure share the same detections).
+
+    ONE (patch+2)² extraction per detection; the 9 shifted patches are
+    static subviews of it (same pixels as 9 shifted extractions, ~5x
+    less one-hot-matmul gather work)."""
+    big = extract_patches(frame.data, pos + frame.border, patch + 2)
     qs = []
-    for drr in (-1, 0, 1):
-        for dcc in (-1, 0, 1):
-            off = jnp.asarray([drr, dcc], jnp.int32)
-            p = extract_patches(frame.data, pos + off[None] + frame.border,
-                                patch)
-            qs.append(p.reshape(-1, patch * patch))
+    for drr in (0, 1, 2):               # row shift drr-1 ∈ {-1, 0, +1}
+        for dcc in (0, 1, 2):
+            sub = big[:, drr:drr + patch, dcc:dcc + patch]
+            qs.append(sub.reshape(-1, patch * patch))
     return jnp.stack(qs)
 
 
@@ -644,7 +657,8 @@ def _do_keyframe_inner(state: SlamState, frame2: Image2d, cfg: SlamConfig,
     enough = jnp.sum(ba_obs_valid) >= 12
     solved, _ = ba_solve_tracks(prob, iters=cfg.ba_iters,
                                 huber=cfg.ba_huber, lam0=cfg.ba_lam0,
-                                mesh=mesh, axis=axis, ring_layout=True)
+                                mesh=mesh, axis=axis, ring_layout=True,
+                                linalg=cfg.ba_linalg)
     kf_pose = jnp.where(enough, solved.poses, kf_pose)
     lm_X = jnp.where(enough, solved.landmarks, lm_X)
 
@@ -652,7 +666,8 @@ def _do_keyframe_inner(state: SlamState, frame2: Image2d, cfg: SlamConfig,
     # than ``prune_reproj`` px is a bad track (a particle that jumped to a
     # different feature while staying "alive") — drop it so it cannot
     # keep biasing the window
-    res = track_residuals(solved._replace(poses=kf_pose, landmarks=lm_X))
+    res = track_residuals(solved._replace(poses=kf_pose, landmarks=lm_X),
+                          ring_layout=True)
     bad = (jnp.linalg.norm(res, axis=-1) > cfg.prune_reproj) & ba_obs_valid
     obs_valid = jnp.where(enough, obs_valid & ~bad, obs_valid)
 
