@@ -149,3 +149,69 @@ def test_subpix_refine_accuracy():
     err_after = np.abs(np.asarray(refined) - expected).mean()
     assert float(np.asarray(rok).mean()) > 0.8
     assert err_after < err_before * 0.7, (err_before, err_after)
+
+
+def test_slam_run_streams_matches_single():
+    """slam_run_streams (the chunked, cond-free serving runner) must
+    reproduce slam_run per stream: bit-identical tracker state, and
+    back-end poses within fp tolerance (vmap's BATCHED cholesky/solve
+    kernels round differently than the unbatched ones, which can flip a
+    borderline triangulation gate — decision noise, not drift)."""
+    from vpp_tpu.slam.pipeline import slam_run_streams
+
+    cfg = SlamConfig(
+        intrinsics=INTR, keyframe_period=4, ring=6, ba_iters=3,
+        min_parallax=2.0, max_reproj=2.0, history=16,
+        enable_recovery=False,
+        tracker=VideoExtruderConfig(capacity=256, detect_k=128, nscales=3,
+                                    winsize=9, keypoint_spacing=8,
+                                    detector_period=1, detector_th=8))
+    clips, boots, gts = [], [], []
+    for s in range(2):
+        _, poses_gt, frames = _scene(n_frames=24, seed=s)
+        clips.append(np.asarray(frames))
+        boots.append(np.asarray(poses_gt[[0, 4]]))
+        gts.append(poses_gt)
+    frames = jnp.asarray(np.stack(clips))
+    boot = jnp.asarray(np.stack(boots))
+    batched = jax.jit(
+        lambda f, b: slam_run_streams(f, cfg, b))(frames, boot)
+    for s in range(2):
+        single = jax.jit(
+            lambda f, b: slam_run(f, cfg, bootstrap_poses=b))(
+            frames[s], boot[s])
+        # front-end: bit-identical particle state
+        np.testing.assert_array_equal(
+            np.asarray(single.tracker.keypoints.alive),
+            np.asarray(batched.tracker.keypoints.alive[s]))
+        np.testing.assert_array_equal(
+            np.asarray(single.tracker.keypoints.position),
+            np.asarray(batched.tracker.keypoints.position[s]))
+        # back-end: same keyframe count, poses to fp-gate tolerance
+        n = int(single.n_keyframes)
+        assert n == int(batched.n_keyframes[s]) == 6
+        np.testing.assert_allclose(
+            np.asarray(single.hist_pose[:n]),
+            np.asarray(batched.hist_pose[s, :n]), atol=0.05)
+        # both land within the single-stream test's ATE bound
+        gt = jnp.asarray(gts[s][np.asarray(single.hist_frame[:n])])
+        assert float(ate_rmse(batched.hist_pose[s, :n], gt)) < 0.08
+
+
+def test_slam_run_streams_guards():
+    from vpp_tpu.slam.pipeline import slam_run_streams
+    cfg = _cfg()                               # enable_recovery=True
+    f = jnp.zeros((1, 8, H, W), jnp.float32)
+    b = jnp.broadcast_to(jnp.eye(4), (1, 2, 4, 4))
+    try:
+        slam_run_streams(f, cfg, b)
+        assert False, "expected ValueError (recovery enabled)"
+    except ValueError:
+        pass
+    import dataclasses
+    cfg2 = dataclasses.replace(cfg, enable_recovery=False)
+    try:
+        slam_run_streams(jnp.zeros((1, 7, H, W), jnp.float32), cfg2, b)
+        assert False, "expected ValueError (T % period)"
+    except ValueError:
+        pass

@@ -814,11 +814,18 @@ def _do_keyframe_inner(state: SlamState, frame2: Image2d, cfg: SlamConfig,
                                      iters=2)
         return solved.poses
 
-    hist_pose = jax.lax.cond(
-        lc_good, solve_full,
-        lambda h: jax.lax.cond(jnp.any(lc_w > 0), solve_refresh,
-                               lambda hh: hh, h),
-        hist_pose)
+    # with recovery compiled out no closure can ever be accepted (n_lc
+    # is the constant 0, so lc_good is False and lc_w stays all-zero) —
+    # both cond branches below are identities; skip them STATICALLY so
+    # the matched configuration neither traces the smoother nor, under
+    # ``vmap`` (stream batching, where a cond lowers to executing both
+    # branches), pays for it every keyframe
+    if cfg.enable_recovery:
+        hist_pose = jax.lax.cond(
+            lc_good, solve_full,
+            lambda h: jax.lax.cond(jnp.any(lc_w > 0), solve_refresh,
+                                   lambda hh: hh, h),
+            hist_pose)
 
     return state.replace(
         kf_pose=kf_pose, kf_valid=kf_valid, obs_uv=obs_uv,
@@ -875,6 +882,80 @@ def slam_run(frames: jax.Array, cfg: SlamConfig,
     (final, _, _), hist = jax.lax.scan(step, (state, f0.data, pyr0),
                                        frames)
     return (final, hist) if collect_tracks else final
+
+
+def slam_run_streams(frames: jax.Array, cfg: SlamConfig,
+                     bootstrap_poses: jax.Array) -> SlamState:
+    """``slam_run`` over S INDEPENDENT clips at once on one chip —
+    frames (S, T, H, W), bootstrap_poses (S, 2, 4, 4); returns the
+    batched final SlamState (leading axis S).
+
+    The aggregate-throughput (serving) configuration: at small
+    geometries a single stream cannot fill the chip — per-op fixed
+    overheads dominate (QVGA: ~0.6 ms/frame regardless of work) — but S
+    vmapped streams amortise every op's overhead S ways, the TPU answer
+    to multi-camera / multi-clip serving. The CPU engine gains nothing
+    from the same trick (its cores are already saturated by one stream),
+    so per-chip throughput scales ~linearly in S until the chip fills.
+
+    Restructured without ``lax.cond``: under ``vmap`` a cond lowers to
+    executing BOTH branches every frame, which would run the whole
+    back-end per frame. Keyframe cadence is identical across streams
+    (frame index, not data, decides it), so the clip is processed in
+    chunks of ``keyframe_period`` tracker steps with the keyframe work
+    ALWAYS run at chunk end — the exact cadence ``slam_run`` implements
+    with a cond (tracker.frame_id % period == 0). Requires
+    T % keyframe_period == 0 and ``enable_recovery=False`` (the
+    smoother's data-dependent double-solve stays cond-gated on the full
+    engine; see ``_do_keyframe``)."""
+    from ..algorithms.pyramid import pyramid as build_pyramid
+    period = cfg.keyframe_period
+    if frames.shape[1] % period != 0:
+        raise ValueError(
+            f"slam_run_streams needs T % keyframe_period == 0, got "
+            f"T={frames.shape[1]}, period={period}")
+    if cfg.enable_recovery:
+        raise ValueError(
+            "slam_run_streams requires enable_recovery=False (the "
+            "closure smoother is cond-gated, which under vmap would "
+            "execute on every keyframe)")
+    b = max(3, cfg.tracker.winsize)
+
+    def one(clip, boot):
+        state = slam_init(cfg, boot)
+
+        def pad(fr):
+            return from_array(fr, border=b, border_mode="mirror")
+
+        def tracker_step(carry, fr2):
+            st, f1_data, pyr1 = carry
+            f1 = Image2d(data=f1_data, border=b)
+            f2 = pad(fr2)
+            pyr2 = build_pyramid(f2, cfg.tracker.nscales, border=b)
+            tracker = video_extruder_update(st.tracker, f1, f2,
+                                            cfg.tracker, pyr1=pyr1,
+                                            pyr2=pyr2)
+            return (st.replace(tracker=tracker), f2.data, pyr2), None
+
+        def chunk_step(carry, chunk):          # chunk (period, H, W)
+            # keyframes fire when tracker.frame_id % period == 0 and
+            # frame_id starts at -1 — i.e. after the FIRST tracker step
+            # of each period (frame_id 0, period, 2*period, ...)
+            carry, _ = tracker_step(carry, chunk[0])
+            st, f_data, pyr = carry
+            st = _do_keyframe(st, Image2d(data=f_data, border=b), cfg)
+            carry, _ = jax.lax.scan(tracker_step, (st, f_data, pyr),
+                                    chunk[1:])
+            return carry, None
+
+        f0 = pad(clip[0])
+        pyr0 = build_pyramid(f0, cfg.tracker.nscales, border=b)
+        chunks = clip.reshape((-1, period) + clip.shape[1:])
+        (final, _, _), _ = jax.lax.scan(chunk_step,
+                                        (state, f0.data, pyr0), chunks)
+        return final
+
+    return jax.vmap(one)(frames, bootstrap_poses)
 
 
 # ---------------------------------------------------------------------------
